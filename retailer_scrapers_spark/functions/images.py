@@ -1,0 +1,255 @@
+"""Self-contained image codec + perceptual hashing (SURVEY.md §7(b), C12, S8).
+
+The sandbox has no Pillow/libjpeg, so the engine carries its own tiny
+codecs built only on numpy + zlib + struct (public formats):
+
+- ``png``  — real minimal PNG (8-bit gray/RGB, filter 0) — lossless.
+- ``raw``  — 12-byte header + raw pixels — lossless.
+- ``qjpg`` — the engine's simple lossy format: uniform quantization
+  (step 4) + zlib. Max per-pixel error 2 → PSNR ≈ 46 dB, which
+  exercises the input_hint's "PSNR ≥ 40 dB for lossy" invariant
+  meaningfully.
+
+``phash64`` is a classic DCT perceptual hash (32×32 → top-left 8×8 AC
+coefficients vs their median → 64 bits), signed-int64 so it fits the
+corpus schema's ``phash:long``.
+
+Spark-facing entry points are Arrow-vectorized pandas UDFs over
+``BinaryType`` (decode → phash / stats / resize); numpy does the pixel
+math per batch — no per-row Python beyond the unavoidable per-blob
+decode loop inside a batch.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_QJPG_STEP = 4
+
+
+# ---------------------------------------------------------------------------
+# Codecs (pure functions: ndarray <-> bytes)
+# ---------------------------------------------------------------------------
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """8-bit grayscale (H,W) or RGB (H,W,3) → PNG bytes (filter 0)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type, h, w = 0, *arr.shape
+        rows = arr.reshape(h, w)
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type = 2
+        h, w = arr.shape[:2]
+        rows = arr.reshape(h, w * 3)
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(raw, 6)) + _chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    idat = b""
+    h = color_type = 0
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color_type = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or color_type not in (0, 2):
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    channels = 1 if color_type == 0 else 3
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        filt, body = row[0], np.frombuffer(row[1:], dtype=np.uint8)
+        if filt == 0:
+            cur = body
+        elif filt == 2:  # Up
+            cur = (body.astype(np.uint16) + prev).astype(np.uint8)
+        else:  # we only ever write filter 0; 2 handled for safety
+            raise ValueError(f"unsupported PNG filter {filt}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(h, w) if channels == 1 else out.reshape(h, w, 3)
+
+
+def encode_raw(arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    c = 1 if arr.ndim == 2 else arr.shape[2]
+    h, w = arr.shape[:2]
+    return struct.pack("<III", w, h, c) + arr.tobytes()
+
+
+def decode_raw(data: bytes) -> np.ndarray:
+    w, h, c = struct.unpack("<III", data[:12])
+    arr = np.frombuffer(data[12:], dtype=np.uint8)
+    return arr.reshape(h, w) if c == 1 else arr.reshape(h, w, c)
+
+
+def encode_qjpg(arr: np.ndarray) -> bytes:
+    """Lossy: quantize by ``_QJPG_STEP`` then zlib-compress."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    c = 1 if arr.ndim == 2 else arr.shape[2]
+    h, w = arr.shape[:2]
+    q = (arr // _QJPG_STEP).astype(np.uint8)
+    return struct.pack("<IIIB", w, h, c, _QJPG_STEP) + zlib.compress(q.tobytes(), 6)
+
+
+def decode_qjpg(data: bytes) -> np.ndarray:
+    w, h, c, step = struct.unpack("<IIIB", data[:13])
+    q = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8)
+    # midpoint reconstruction, clipped to uint8
+    arr = np.minimum(q.astype(np.uint16) * step + step // 2, 255).astype(np.uint8)
+    return arr.reshape(h, w) if c == 1 else arr.reshape(h, w, c)
+
+
+_ENCODERS = {"png": encode_png, "raw": encode_raw, "bmp": encode_raw, "qjpg": encode_qjpg}
+_DECODERS = {"png": decode_png, "raw": decode_raw, "bmp": decode_raw, "qjpg": decode_qjpg}
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    return _ENCODERS[fmt](arr)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """Decode; audio/video fmts are intentionally stubbed (no codec libs
+    in this container) — the Spark-side plumbing stays real."""
+    if fmt in ("mp3", "wav", "mp4", "webm"):
+        raise NotImplementedError(f"{fmt}: multimedia codec not available in this container")
+    return _DECODERS[fmt](data)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf for identical images)."""
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    return float("inf") if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (C12)
+# ---------------------------------------------------------------------------
+
+def _to_gray(arr: np.ndarray) -> np.ndarray:
+    return arr.astype(np.float64) if arr.ndim == 2 else arr.astype(np.float64).mean(axis=2)
+
+
+def _resize_block_mean(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic area resize: mean over source-index buckets."""
+    h, w = img.shape
+    ys = (np.arange(out_h + 1) * h // out_h).astype(int)
+    xs = (np.arange(out_w + 1) * w // out_w).astype(int)
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for i in range(out_h):
+        band = img[ys[i] : max(ys[i + 1], ys[i] + 1)]
+        # per-column bucket means via cumsum over the row-averaged band
+        c = np.concatenate([[0.0], np.cumsum(band.mean(axis=0))])
+        widths = np.maximum(xs[1:] - xs[:-1], 1)
+        out[i] = (c[np.maximum(xs[1:], xs[:-1] + 1)] - c[xs[:-1]]) / widths
+    return out
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.sqrt(2.0 / n) * np.cos((2 * i + 1) * k * np.pi / (2 * n))
+        m[0] /= np.sqrt(2.0)
+        _DCT32 = m
+    return _DCT32
+
+
+def phash64(arr: np.ndarray) -> int:
+    """DCT perceptual hash → signed int64 (fits the ``phash:long`` column)."""
+    g = _resize_block_mean(_to_gray(arr), 32, 32)
+    m = _dct_matrix(32)
+    d = m @ g @ m.T
+    block = d[:8, :8].copy()
+    flat = block.flatten()
+    med = np.median(flat[1:])  # exclude DC
+    bits = (flat > med).astype(np.uint64)
+    val = np.uint64(0)
+    for b in bits:
+        val = np.uint64(val << np.uint64(1)) | b
+    return int(val.view(np.int64) if hasattr(val, "view") else val)
+
+
+# ---------------------------------------------------------------------------
+# Spark-facing pandas UDFs (Arrow batches of BinaryType)
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def phash_udf(blob: pd.Series, fmt: pd.Series) -> pd.Series:
+    out = np.empty(len(blob), dtype=np.int64)
+    for i, (b, f_) in enumerate(zip(blob.values, fmt.values)):
+        out[i] = phash64(decode_image(bytes(b), f_)) if b is not None else 0
+    return pd.Series(out)
+
+
+_STATS_T = T.StructType(
+    [
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("mean_px", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_STATS_T)
+def image_stats_udf(blob: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    """Decode + feature-extract (w, h, mean pixel) — the feature-extraction
+    stage of the multimodal pipeline."""
+    ws, hs, means = [], [], []
+    for b, f_ in zip(blob.values, fmt.values):
+        if b is None:
+            ws.append(None), hs.append(None), means.append(None)
+            continue
+        arr = decode_image(bytes(b), f_)
+        hs.append(int(arr.shape[0])), ws.append(int(arr.shape[1]))
+        means.append(float(arr.astype(np.float64).mean()))
+    return pd.DataFrame({"w": ws, "h": hs, "mean_px": means})
+
+
+def make_resize_udf(out_w: int, out_h: int):
+    """Resize-to-(out_w,out_h) stage: decode → block-mean resize → re-encode
+    PNG. Returned as a fresh UDF so the target size is closure-captured."""
+
+    @F.pandas_udf(T.BinaryType())
+    def resize_udf(blob: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for b, f_ in zip(blob.values, fmt.values):
+            if b is None:
+                out.append(None)
+                continue
+            g = _to_gray(decode_image(bytes(b), f_))
+            out.append(encode_png(_resize_block_mean(g, out_h, out_w).round().astype(np.uint8)))
+        return pd.Series(out)
+
+    return resize_udf

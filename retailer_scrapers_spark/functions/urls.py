@@ -1,0 +1,118 @@
+"""URL canonicalization (SURVEY.md F8, F6) — the engine's first frontier op.
+
+The reference only fixes relative URLs by prepending the site origin
+(scrape_shoprite.py:280-281); the north rule additionally requires
+lowercased host, fragment + tracking-param stripping, and sorted query
+keys. The Spark implementation is 100% built-in column expressions
+(split / filter / array_sort / concat — all codegen'd, no UDF), so it
+runs JVM-side at full scan speed. ``canonicalize_py`` is the
+semantically-identical pure-Python mirror used by the golden-trace
+reference executor; a property test pins the two together.
+
+Grammar handled: ``scheme://authority/path?query#fragment``. Rules:
+  1. strip ``#fragment``
+  2. lowercase scheme + authority; strip default ports (:80 http, :443 https)
+  3. empty path → ``/``
+  4. drop tracking params (utm_*, fbclid, gclid, msclkid, mc_cid, mc_eid, ref)
+  5. sort remaining query params lexicographically; drop empty query
+  6. relative URLs get ``https://{default_host}`` prepended (F6,
+     scrape_shoprite.py:280-281)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_RE = r"^(utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)(=|$)"
+
+
+def canonicalize_url(url: Column, default_host: Column | str | None = None) -> Column:
+    """Return the canonical form of ``url`` as a Column expression."""
+    if default_host is not None:
+        origin = F.concat(F.lit("https://"), default_host if isinstance(default_host, Column) else F.lit(default_host))
+        url = F.when(url.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"), url).otherwise(
+            F.concat(origin, F.when(url.startswith("/"), url).otherwise(F.concat(F.lit("/"), url)))
+        )
+
+    no_frag = F.substring_index(url, "#", 1)
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
+    authority = F.lower(F.substring_index(F.substring_index(rest, "/", 1), "?", 1))
+    authority = F.when(scheme == "http", F.regexp_replace(authority, ":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(authority, ":443$", "")).otherwise(authority)
+    )
+    # substring after the authority: length() arithmetic on the *raw* rest
+    raw_auth = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
+    path_q = rest.substr(F.length(raw_auth) + 1, F.length(rest))
+    path = F.substring_index(path_q, "?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    # query = everything after the FIRST '?' (matches the Python mirror)
+    query = F.when(path_q.contains("?"), path_q.substr(F.instr(path_q, "?") + 1, F.length(path_q))).otherwise(F.lit(""))
+
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        authority,
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+
+
+def host_of(url_canon: Column) -> Column:
+    """Host (authority sans port) of an already-canonical URL."""
+    return F.substring_index(
+        F.substring_index(F.regexp_replace(url_canon, r"^[a-z][a-z0-9+.\-]*://", ""), "/", 1),
+        ":",
+        1,
+    )
+
+
+def canonicalize_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "url_canon",
+    default_host_col: str | None = None,
+) -> DataFrame:
+    """Add ``out_col`` (canonical URL) and ``host`` columns to ``df``."""
+    default_host = F.col(default_host_col) if default_host_col else None
+    out = df.withColumn(out_col, canonicalize_url(F.col(url_col), default_host))
+    return out.withColumn("host", host_of(F.col(out_col)))
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python mirror (golden-trace reference executor; property-tested equal)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_TRACKING_PY = _re.compile(TRACKING_PARAM_RE)
+_SCHEME_PY = _re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://")
+
+
+def canonicalize_py(url: str, default_host: str | None = None) -> str:
+    """Pure-Python twin of :func:`canonicalize_url` (identical semantics)."""
+    if default_host is not None and not _SCHEME_PY.match(url):
+        sep = "" if url.startswith("/") else "/"
+        url = f"https://{default_host}{sep}{url}"
+    no_frag = url.split("#", 1)[0]
+    m = _SCHEME_PY.match(no_frag)
+    scheme = m.group(1).lower() if m else ""
+    rest = _SCHEME_PY.sub("", no_frag)
+    raw_auth = rest.split("/", 1)[0].split("?", 1)[0]
+    authority = raw_auth.lower()
+    if scheme == "http" and authority.endswith(":80"):
+        authority = authority[:-3]
+    elif scheme == "https" and authority.endswith(":443"):
+        authority = authority[:-4]
+    path_q = rest[len(raw_auth):]
+    path = path_q.split("?", 1)[0] or "/"
+    query = path_q.split("?", 1)[1] if "?" in path_q else ""
+    params = sorted(p for p in query.split("&") if p and not _TRACKING_PY.match(p))
+    q = "&".join(params)
+    return f"{scheme}://{authority}{path}" + (f"?{q}" if q else "")

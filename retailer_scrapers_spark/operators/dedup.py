@@ -1,0 +1,227 @@
+"""Deduplication operators.
+
+Reference-parity family (SURVEY.md §2.5):
+  D1 ``dedup_keep_promo``    — keyed dedup with promo priority
+                               (scrape_shoprite.py:572-575 and 3 clones)
+  D2 ``repair_duplicate_indexes`` — duplicate-id repair + resequencing
+                               (scrape_shoprite.py:550-570 and 3 clones)
+  D3 ``drop_duplicates_first``    — keep-first by key with pinned order
+                               (scrape_pnp.py:429-434)
+  J4 ``last_wins``           — dict-merge overwrite semantics
+                               (scrape_shoprite.py:459-461)
+
+Training-data family (task brief): exact hash dedup, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup — all shuffle-aware:
+LSH banding turns the O(n²) pair space into an equi-join on band keys,
+which Spark executes as a hash-partitioned shuffle join; candidate
+pairs are verified exactly afterwards.
+
+Determinism: every ``keep='first'`` becomes a total-order window
+(ties broken by an explicit ``seq`` column) per SURVEY.md §2.9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from retailer_scrapers_spark.functions.prices import NO_PROMO
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity dedup
+# ---------------------------------------------------------------------------
+
+def dedup_keep_promo(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("name", "price"),
+    promo_col: str = "promotion_price",
+    order_col: str = "index",
+) -> DataFrame:
+    """D1 — keep one row per ``keys``, preferring rows WITH a promotion.
+
+    The reference sorts by (name, price, promo_priority) with
+    promo_priority = 0 when a promo exists, then drops later duplicates
+    (scrape_shoprite.py:572-575). Tie-break within equal promo priority
+    is pinned to ``order_col`` (total order; §2.9).
+    """
+    prio = F.when(F.col(promo_col) != NO_PROMO, 0).otherwise(1)
+    w = Window.partitionBy(*keys).orderBy(prio.asc(), F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def drop_duplicates_first(
+    df: DataFrame, keys: tuple[str, ...] = ("name", "price"), order_col: str = "index"
+) -> DataFrame:
+    """D3 — pandas ``drop_duplicates(keys, keep='first')`` with the input
+    order pinned to ``order_col`` (scrape_pnp.py:429-434)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def last_wins(df: DataFrame, key: str = "name", order_col: str = "index") -> DataFrame:
+    """J4 — ``{name: row}`` dict-comprehension overwrite: the LAST row per
+    key survives (scrape_shoprite.py:459-461)."""
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def repair_duplicate_indexes(
+    df: DataFrame,
+    id_col: str = "index",
+    floor_value: int = 0,
+    order_cols: tuple[str, ...] = ("name", "price"),
+) -> DataFrame:
+    """D2 — duplicate-index repair (scrape_shoprite.py:550-570).
+
+    Rows whose ``id_col`` value occurs more than once keep ONE occupant
+    of the id (first by ``order_cols``); the rest get fresh sequential
+    ids starting at ``max(max(id), floor_value) + 1``. Matches the
+    reference's remove→reassign→re-append, but deterministic.
+    """
+    w_cnt = Window.partitionBy(id_col)
+    w_in_dup = Window.partitionBy(id_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    marked = df.withColumn("__cnt", F.count(F.lit(1)).over(w_cnt)).withColumn(
+        "__dup_rn", F.row_number().over(w_in_dup)
+    )
+    keep = marked.filter((F.col("__cnt") == 1) | (F.col("__dup_rn") == 1)).drop("__cnt", "__dup_rn")
+    dupes = marked.filter((F.col("__cnt") > 1) & (F.col("__dup_rn") > 1)).drop("__cnt", "__dup_rn")
+
+    # next id base: max over the WHOLE input, floored (scrape_shoprite.py:560)
+    base = df.agg(F.greatest(F.max(F.col(id_col)), F.lit(floor_value)).alias("m"))
+    w_seq = Window.orderBy(*[F.col(c).asc() for c in order_cols], F.col(id_col).asc())
+    reassigned = (
+        dupes.crossJoin(F.broadcast(base))
+        .withColumn(id_col, F.row_number().over(w_seq) + F.col("m"))
+        .drop("m")
+    )
+    return keep.unionByName(reassigned)
+
+
+# ---------------------------------------------------------------------------
+# Training-data dedup family
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate removal by content hash: keep the lowest id per
+    distinct text. One shuffle on the (pruned) hash key."""
+    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col)).orderBy(F.col(id_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def _shingles(text_col: str, k: int = 5) -> F.Column:
+    """Word k-shingles of lowercased text (built-ins only)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), n - 1)
+    return F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 32, shingle_k: int = 5
+) -> DataFrame:
+    """MinHash signature per document: for hash function j, the min over
+    shingles of ``xxhash64(shingle, seed=j)``. Entirely built-in
+    (transform + array_min per seed) — stays in codegen, no UDF."""
+    sh = _shingles(text_col, shingle_k)
+
+    def _seeded(j: int):
+        # one-arg lambda on purpose: pyspark feeds the element index to
+        # two-arg lambdas, which would clobber the seed
+        return lambda s: F.xxhash64(s, F.lit(j))
+
+    sig = F.array(*[F.array_min(F.transform(sh, _seeded(j))) for j in range(num_hashes)])
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs: band the signature (rows=num_hashes/bands),
+    hash each band to a bucket key, self-join on (band, bucket).
+
+    Scale shape: the self-join is an equi-join on the band key →
+    hash-partitioned shuffle, never an O(n²) cross product; hot buckets
+    (boilerplate docs) are bounded because band keys include the band
+    index. Returns (a, b) id pairs with a < b and their estimated
+    Jaccard (fraction of matching signature positions).
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        id_col,
+        "minhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.xxhash64(F.slice("minhash", b * rows + 1, rows).cast("string")).alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "minhash", "bb.band", "bb.bucket")
+    left = banded.select(F.col(id_col).alias("a"), F.col("minhash").alias("sig_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("b"), F.col("minhash").alias("sig_b"), "band", "bucket")
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+    )
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)) / F.lit(num_hashes)
+    return pairs.select("a", "b", est.cast("double").alias("est_jaccard"))
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """SimHash: sign of per-bit sums of token hashes. Built-ins only:
+    explode tokens → per-bit ±1 from the token hash → sum → sign bits.
+    Shuffle: one groupBy on the id (map-side partial aggregation)."""
+    toks = df.select(F.col(id_col), F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_cols = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_cols)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        contrib = F.shiftleft(term, b)
+        sim = contrib if sim is None else sim.bitwiseXOR(contrib)  # disjoint bits: XOR == OR
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    token-shingle → explode → self-join on shingle (inverted index) →
+    per-pair intersection count → |A∪B| = |A|+|B|−|A∩B|. The join is on
+    the shingle key (shuffle), never a cross join.
+    """
+    sh = df.select(F.col(id_col), F.explode(F.array_distinct(_shingles(text_col, n))).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), "sh")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "a")
+        .join(sz_b, "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.col("jaccard").cast("double").alias("jaccard"))
+    )

@@ -1,0 +1,113 @@
+"""Frontier scheduling operators (SURVEY.md R4, R6, R7, O2).
+
+These turn the reference's imperative control flow (thread pools,
+page-range loops, retry counters) into declarative transformations over
+the frontier DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_ATTEMPTS = 3  # page retry budget (scrape_shoprite.py:222,387-394)
+
+
+def topk_per_host(
+    df: DataFrame,
+    per_host_budget: int,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """R6 — host-bucketed priority queue: each epoch fetches the top-k
+    pending URLs per host by (priority desc, seq asc). One shuffle on
+    ``host``; the window is rank-limited so AQE can pipeline it."""
+    w = Window.partitionBy(host_col).orderBy(F.col(priority_col).desc(), F.col(seq_col).asc())
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= per_host_budget)
+        .drop("__rank")
+    )
+
+
+def salt_hot_hosts(
+    df: DataFrame,
+    target_rows_per_task: int = 10_000,
+    host_col: str = "host",
+    url_col: str = "url_canon",
+) -> DataFrame:
+    """R7 — explicit skew salting (north_rule; AQE skew handling does not
+    apply to ``applyInPandas`` groups, SURVEY.md §4.2.3).
+
+    A cheap ``groupBy(host).count()`` pre-pass sizes ``n_salt`` per host
+    (ceil(count / target)); the salt is a deterministic hash of the URL
+    so re-runs are stable. Adds ``salt`` and ``n_salt`` columns; the
+    politeness scheduler divides each host's budget across its salts.
+    """
+    counts = df.groupBy(host_col).agg(F.count(F.lit(1)).alias("__host_rows"))
+    n_salt = F.greatest(F.ceil(F.col("__host_rows") / target_rows_per_task), F.lit(1)).cast("int")
+    sized = counts.select(F.col(host_col), n_salt.alias("n_salt"))
+    return (
+        df.join(F.broadcast(sized), host_col, "left")
+        .na.fill({"n_salt": 1})
+        .withColumn("salt", F.pmod(F.xxhash64(F.col(url_col)), F.col("n_salt")).cast("int"))
+    )
+
+
+def requeue_failures(
+    fetched: DataFrame,
+    status_col: str = "status",
+    attempt_col: str = "attempt",
+    priority_col: str = "priority",
+    max_attempts: int = MAX_ATTEMPTS,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """R4 — retry with backoff as dataflow: split fetch results into
+
+    (ok, retry, dropped):
+    - ok:     status < 500
+    - retry:  failed with attempt+1 < max → re-emitted to the next
+              epoch's frontier with ``attempt+1`` and the reference's
+              exponential backoff (sleep(2**retries),
+              scrape_shoprite.py:387-394) re-expressed as a priority
+              penalty of 2**attempt (later epochs = later fetch).
+    - dropped: failed at the attempt cap.
+    """
+    failed = fetched.filter(F.col(status_col) >= 500)
+    ok = fetched.filter((F.col(status_col) < 500) | F.col(status_col).isNull())
+    retry = (
+        failed.filter(F.col(attempt_col) + 1 < max_attempts)
+        .withColumn(attempt_col, F.col(attempt_col) + 1)
+        .withColumn(priority_col, F.col(priority_col) - F.pow(F.lit(2.0), F.col(attempt_col)))
+    )
+    dropped = failed.filter(F.col(attempt_col) + 1 >= max_attempts)
+    return ok, retry, dropped
+
+
+def assign_global_indexes(
+    df: DataFrame,
+    base_offsets: dict[str, int],
+    retailer_col: str = "retailer",
+    order_cols: tuple[str, ...] = ("page", "pos"),
+    out_col: str = "index",
+) -> DataFrame:
+    """O2 — deterministic contiguous id assignment per retailer.
+
+    The reference threads a racy ``current_index`` through futures
+    (§2.9); here each retailer gets ``base_offset + row_number() − 1``
+    over a TOTAL order (page, pos) — reproducible under any
+    parallelism. Base offsets: checkers 0, pnp 7500, shoprite 17500,
+    woolworths 29000 (scrape_checkers.py:596, scrape_pnp.py:367,
+    scrape_shoprite.py:591, scrape_woolworths.py:396).
+    """
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(
+        [(k, v) for k, v in base_offsets.items()], f"{retailer_col} string, __base long"
+    )
+    w = Window.partitionBy(retailer_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        df.join(F.broadcast(offsets), retailer_col, "left")
+        .na.fill({"__base": 0})
+        .withColumn(out_col, F.col("__base") + F.row_number().over(w) - 1)
+        .drop("__base")
+    )

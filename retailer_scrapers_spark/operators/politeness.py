@@ -1,0 +1,127 @@
+"""Politeness / robots / visit-window operators (SURVEY.md R1, R2, R3).
+
+The reference sleeps in threads (``time.sleep(5)``
+scrape_shoprite.py:257; ``max(timeout, 10)`` scrape_pnp.py:46,150-152)
+and exits outside 04:00–08:45 UTC (scrape_pnp.py:53-63). The engine
+replaces wall-clock sleeps with a *simulated scheduling clock*: each
+epoch has a budget of logical seconds and every selected fetch gets a
+deterministic ``scheduled_offset_ms`` honoring the per-host crawl
+delay. Tests are fast (no real sleeping) and the schedule is part of
+the operator's contract, so golden traces can pin it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCHED_COLS = "scheduled_offset_ms long, wait_ms long, within_budget boolean"
+
+
+def robots_filter(
+    frontier: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url_canon",
+    host_col: str = "host",
+) -> tuple[DataFrame, DataFrame]:
+    """R3 — split frontier into (allowed, denied) by robots disallow
+    prefixes. ``robots.disallow`` holds path(+query) prefixes; a URL is
+    denied when its path starts with any of them. The robots table is
+    tiny → broadcast join; unknown hosts are allowed."""
+    pathq = F.regexp_replace(F.col(url_col), r"^[a-z][a-z0-9+.\-]*://[^/]+", "")
+    joined = frontier.join(
+        F.broadcast(robots.select(host_col, "disallow", "crawl_delay_s")), host_col, "left"
+    ).withColumn(
+        "__denied",
+        F.when(F.col("disallow").isNull(), F.lit(False)).otherwise(
+            F.exists(F.col("disallow"), lambda d: pathq.startswith(d))
+        ),
+    )
+    allowed = joined.filter(~F.col("__denied")).drop("__denied", "disallow")
+    denied = joined.filter(F.col("__denied")).drop("__denied", "disallow")
+    return allowed, denied
+
+
+def in_visit_window(now_utc_seconds_of_day: int, start_hhmm: F.Column, end_hhmm: F.Column) -> F.Column:
+    """R2 — predicate: is the epoch's logical clock inside [start, end]?
+    ``start``/``end`` are "HH:MM" strings from the robots table."""
+    def to_secs(c: F.Column) -> F.Column:
+        return (
+            F.split(c, ":").getItem(0).cast("int") * 3600 + F.split(c, ":").getItem(1).cast("int") * 60
+        )
+
+    now = F.lit(int(now_utc_seconds_of_day))
+    return now.between(to_secs(start_hhmm), to_secs(end_hhmm))
+
+
+def visit_window_filter(
+    frontier_with_robots: DataFrame,
+    now_utc_seconds_of_day: int,
+    start_col: str = "visit_start_utc",
+    end_col: str = "visit_end_utc",
+) -> tuple[DataFrame, DataFrame]:
+    """Split into (in_window, deferred). Hosts without a window (null
+    start) are always crawlable; deferred rows stay in the frontier for
+    a later epoch (the reference exits the process instead,
+    scrape_pnp.py:75-77)."""
+    ok = F.col(start_col).isNull() | in_visit_window(
+        now_utc_seconds_of_day, F.col(start_col), F.col(end_col)
+    )
+    return frontier_with_robots.filter(ok), frontier_with_robots.filter(~ok)
+
+
+def politeness_schedule(
+    selected: DataFrame,
+    epoch_budget_s: float,
+    delay_col: str = "crawl_delay_s",
+    default_delay_s: float = 10.0,
+    host_col: str = "host",
+    salt_col: str = "salt",
+    n_salt_col: str = "n_salt",
+    priority_col: str = "priority",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """R1 — per-(host, salt) grouped-map scheduler with a simulated clock.
+
+    Within a host, consecutive fetches must be ≥ crawl_delay apart.
+    With salting, each salt group runs a stride of ``delay × n_salt``
+    offset by ``salt × delay`` — the union across salts preserves the
+    per-host delay exactly while letting salts execute in parallel
+    tasks (the skew escape hatch, north_rule).
+
+    Emits ``scheduled_offset_ms`` (logical epoch time of the fetch),
+    ``wait_ms`` (politeness wait this fetch incurred) and
+    ``within_budget`` (false → caller defers the row to the next
+    epoch). This is the engine's replacement for the reference's
+    per-thread ``time.sleep`` loops (scrape_shoprite.py:419-428).
+    """
+    in_cols = selected.columns
+    for c in (salt_col, n_salt_col):
+        if c not in in_cols:
+            selected = selected.withColumn(c, F.lit(1 if c == n_salt_col else 0))
+    if delay_col in selected.columns:
+        selected = selected.withColumn(delay_col, F.coalesce(F.col(delay_col), F.lit(default_delay_s)))
+    else:
+        selected = selected.withColumn(delay_col, F.lit(default_delay_s))
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in selected.schema.fields)
+    out_schema = f"{out_schema}, {SCHED_COLS}"
+    budget_ms = int(epoch_budget_s * 1000)
+
+    def schedule_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([priority_col, seq_col], ascending=[False, True], kind="mergesort")
+        delay_ms = int(float(pdf[delay_col].iloc[0]) * 1000)
+        n_salt = max(int(pdf[n_salt_col].iloc[0]), 1)
+        salt = int(pdf[salt_col].iloc[0]) if n_salt > 1 else 0
+        stride = delay_ms * n_salt
+        base = salt * delay_ms
+        k = pd.RangeIndex(len(pdf)).to_numpy()
+        offset = base + k * stride
+        pdf = pdf.assign(
+            scheduled_offset_ms=offset,
+            wait_ms=[0] + [stride] * (len(pdf) - 1),
+            within_budget=offset < budget_ms,
+        )
+        return pdf
+
+    return selected.groupBy(host_col, salt_col).applyInPandas(schedule_group, out_schema)

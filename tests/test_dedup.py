@@ -1,0 +1,93 @@
+"""D1–D3, J4 reference dedup + training-data dedup family."""
+
+from pyspark.sql import functions as F
+
+from retailer_scrapers_spark.operators import dedup as D
+
+ROWS = [
+    # (index, name, price, promotion_price)
+    (1, "apple", "R10", "No promo"),
+    (2, "apple", "R10", "R8"),        # same (name, price), has promo → D1 keeps this
+    (3, "apple", "R12", "No promo"),  # different price → separate key
+    (4, "pear", "R5", "No promo"),
+    (5, "pear", "R5", "No promo"),    # exact dup key, no promo → keeps idx 4
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "index long, name string, price string, promotion_price string")
+
+
+def test_d1_promo_priority(spark):
+    out = {(r.name, r.price): (r["index"], r.promotion_price) for r in D.dedup_keep_promo(_df(spark)).collect()}
+    assert out[("apple", "R10")] == (2, "R8")   # promo wins over lower index
+    assert out[("apple", "R12")] == (3, "No promo")
+    assert out[("pear", "R5")] == (4, "No promo")  # tie → lowest index
+
+
+def test_d3_keep_first(spark):
+    out = {(r.name, r.price): r["index"] for r in D.drop_duplicates_first(_df(spark)).collect()}
+    assert out[("apple", "R10")] == 1  # keep='first' by index, promo ignored
+    assert out[("pear", "R5")] == 4
+
+
+def test_j4_last_wins(spark):
+    out = {r.name: r["index"] for r in D.last_wins(_df(spark), "name", "index").collect()}
+    assert out == {"apple": 3, "pear": 5}
+
+
+def test_d2_repair_duplicate_indexes(spark):
+    df = spark.createDataFrame(
+        [(10, "a", "R1"), (10, "b", "R2"), (10, "c", "R3"), (11, "d", "R4")],
+        "index long, name string, price string",
+    )
+    out = D.repair_duplicate_indexes(df, "index", floor_value=99, order_cols=("name", "price"))
+    rows = {r.name: r["index"] for r in out.collect()}
+    assert rows["a"] == 10          # first occupant keeps the id
+    assert rows["d"] == 11
+    assert sorted([rows["b"], rows["c"]]) == [100, 101]  # max(10, 99)+1 …
+    assert out.count() == 4
+    assert out.select("index").distinct().count() == 4
+
+
+def test_d2_floor_below_max(spark):
+    df = spark.createDataFrame([(50, "a"), (50, "b")], "index long, name string")
+    rows = {r.name: r["index"] for r in D.repair_duplicate_indexes(df, "index", 0, ("name",)).collect()}
+    assert rows == {"a": 50, "b": 51}  # base = max(50, 0) + 1
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    got = sorted(r.doc_id for r in D.exact_dedup(df).collect())
+    assert got == [1, 3]
+
+
+def test_minhash_estimates_jaccard(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words everywhere nothing shared at all here now ok"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id long, text string")
+    pairs = {(r.a, r.b): r.est_jaccard for r in D.minhash_lsh_pairs(df, num_hashes=32, bands=16, shingle_k=3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_texts_close(spark):
+    # simhash sign-sums need enough token mass to be stable — use ~100-token docs
+    base = ("spark makes big data processing simple and fast for everyone who tries it today " * 8).strip()
+    near = base.replace("everyone", "most").replace("today", "tomorrow")
+    far = ("bananas oranges apples pears grapes melons kiwi fruit salad bowl morning lunch " * 8).strip()
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id long, text string")
+    out = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    ham12 = bin(out[1] ^ out[2]).count("1")
+    ham13 = bin(out[1] ^ out[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_ngram_jaccard_pairs(spark):
+    a = "one two three four five six seven eight"
+    df = spark.createDataFrame([(1, a), (2, a), (3, "x y z w v u t s")], "doc_id long, text string")
+    got = {(r.a, r.b): r.jaccard for r in D.ngram_jaccard_pairs(df, n=2, threshold=0.9).collect()}
+    assert got == {(1, 2): 1.0}

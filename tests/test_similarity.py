@@ -1,0 +1,48 @@
+"""Embedding similarity: brute-force exactness vs numpy, ANN recall,
+near-dup pair detection."""
+
+import numpy as np
+
+from retailer_scrapers_spark.operators import similarity as S
+
+
+def _vecs(n=200, d=16, seed=42):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, d)).astype(np.float32)
+
+
+def _df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+
+
+def test_cosine_topk_matches_numpy(spark):
+    vecs = _vecs()
+    q = vecs[0].astype(np.float64)
+    cos = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    want = list(np.argsort(-np.round(cos, 6))[:10])
+    got = [r.vec_id for r in S.cosine_topk(_df(spark, vecs), list(q), k=10).collect()]
+    assert got[0] == 0  # the query itself
+    assert set(got) == set(int(i) for i in want)
+
+
+def test_ann_lsh_recall(spark):
+    vecs = _vecs(400)
+    q = list(vecs[7].astype(np.float64))
+    exact = {r.vec_id for r in S.cosine_topk(_df(spark, vecs), q, k=5).collect()}
+    approx = {r.vec_id for r in S.ann_lsh_topk(_df(spark, vecs), q, k=5, n_planes=8, max_hamming=3).collect()}
+    assert 7 in approx  # the query vector itself is always in its own bucket
+    assert len(exact & approx) >= 2  # reasonable recall at this hamming radius
+
+
+def test_embedding_near_dup_pairs(spark):
+    vecs = _vecs(50)
+    vecs[1] = vecs[0] + 0.001 * np.random.default_rng(1).standard_normal(16).astype(np.float32)
+    vecs[10] = vecs[0] * 2.0  # same direction → cosine 1.0
+    df = _df(spark, vecs)
+    pairs = {(r.a, r.b): r.cosine for r in S.embedding_near_dup_pairs(df, threshold=0.98).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 10) in pairs
+    for (a, b), c in pairs.items():
+        assert a < b and c >= 0.98
