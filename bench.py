@@ -1,0 +1,199 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default run (what the driver invokes):
+    python bench.py
+→ one JSON line:
+    {"metric": "urls_fetched_deduped_per_sec", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": 0.1, ...}
+
+The headline metric is the north-star inner loop measured end-to-end:
+canonicalize (F8) → Bloom build over the seen half → Bloom-prefiltered
+exact dedup (D6) → host-bucketed top-k (R6) over a synthetic frontier
+(``$SPARK_GRAFT_BENCH_N`` URLs, default 2,000,000 — a hash-extrapolated
+stand-in for the 10^10 frontier shape). ``queries`` carries wall times
+of the oracle-checked operator suite at ``$SPARK_GRAFT_SF_DIR``
+(default sf0.1).
+
+Scaling evidence (north_rule's N→4N executor criterion, sandbox proxy):
+    python bench.py --scaling
+runs the frontier pipeline in fresh subprocesses at local[8] and
+local[32] on the SAME input and writes BENCH/BASELINE.md with
+throughput at both plus efficiency = (T32/T8)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2000000"))
+
+# headline operator queries timed against $SPARK_GRAFT_SF_DIR
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "d1_dedup_keep_promo",
+    "d2_repair_duplicate_indexes",
+    "d6_seen_filter_anti",
+    "r6_topk_per_group",
+    "o2_assign_indexes",
+    "j1_zip_join",
+    "sessionization",
+    "events_tumbling_window",
+    "exact_dedup_docs",
+    "minhash_lsh_near_dup",
+    "ngram_jaccard_near_dup",
+    "simhash_fingerprints",
+    "cosine_topk_ann",
+    "ann_lsh_topk",
+    "embedding_near_dup_lsh",
+    "lang_id",
+    "quality_scores",
+    "token_counts",
+]
+
+
+def frontier_throughput(spark, n_urls: int) -> dict:
+    """URLs fetched+deduped/sec over a synthetic frontier of ``n_urls``.
+
+    Pipeline: generate → canonicalize → Bloom(seen half) → exact
+    Bloom-prefiltered dedup → top-k per host → count survivors.
+    """
+    from pyspark.sql import functions as F
+
+    from retailer_scrapers_spark.functions.urls import canonicalize_urls
+    from retailer_scrapers_spark.operators.bloom import BloomFilter, build_bloom, filter_unseen
+    from retailer_scrapers_spark.operators.frontier import topk_per_host
+
+    n_hosts = max(n_urls // 2048, 16)  # ~2k URLs per host
+    raw = spark.range(n_urls).select(
+        F.concat(
+            F.lit("https://Host"),
+            (F.col("id") % n_hosts).cast("string"),
+            F.lit(".test/p/"),
+            F.col("id").cast("string"),
+            F.lit("?utm_source=bench&b=2&a=1#frag"),
+        ).alias("url"),
+        F.col("id"),
+    )
+    seen_src = raw.filter(F.col("id") % 2 == 0)
+    seen = canonicalize_urls(seen_src, "url").select("url_canon")
+
+    t0 = time.time()
+    import math
+
+    m_bits = max(64, int(-(n_urls // 2) * math.log(1e-3) / (math.log(2) ** 2)))
+    bloom = build_bloom(seen, m_bits=m_bits, k_hashes=10)
+    t_build = time.time() - t0
+
+    frontier = canonicalize_urls(raw, "url").select(
+        "url_canon", F.col("id").alias("seq"), F.lit(1.0).alias("priority")
+    )
+    t1 = time.time()
+    unseen = filter_unseen(frontier, bloom, seen)
+    survivors = topk_per_host(unseen, per_host_budget=1 << 30)
+    n_out = survivors.count()
+    t_dedup = time.time() - t1
+
+    assert n_out == n_urls - n_urls // 2, f"dedup wrong: {n_out}"
+    total = t_build + t_dedup
+    return {
+        "n_urls": n_urls,
+        "n_hosts": n_hosts,
+        "bloom_build_sec": round(t_build, 3),
+        "dedup_topk_sec": round(t_dedup, 3),
+        "total_sec": round(total, 3),
+        "urls_per_sec": round(n_urls / total, 1),
+    }
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    # JVM/codegen warm-up (not timed)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        scaling_report()
+        return
+    if "--frontier-only" in sys.argv:  # subprocess mode for scaling runs
+        from retailer_scrapers_spark import get_spark
+
+        spark = get_spark("bench-frontier", cores=CPUS)
+        res = frontier_throughput(spark, BENCH_N)
+        print(json.dumps(res))
+        spark.stop()
+        return
+
+    from retailer_scrapers_spark import get_spark
+
+    spark = get_spark("bench", cores=CPUS)
+    queries = run_queries(spark, SF_DIR)
+    fr = frontier_throughput(spark, BENCH_N)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
+    result = {
+        "metric": "urls_fetched_deduped_per_sec",
+        "value": fr["urls_per_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "frontier": fr,
+        "cores": CPUS,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+def scaling_report() -> None:
+    """local[8] vs local[32] on the same input → BENCH/BASELINE.md."""
+    results = {}
+    for cores in ("8", "32"):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=cores, SPARK_GRAFT_BENCH_N=str(BENCH_N))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--frontier-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    t8, t32 = results["8"]["urls_per_sec"], results["32"]["urls_per_sec"]
+    eff = (t32 / t8) / 4.0
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — measured engine numbers\n\n"
+            "Sandbox proxy for the north_rule's N→4N executor scaling\n"
+            "criterion: the same frontier canonicalize+Bloom-dedup+top-k job\n"
+            f"over {BENCH_N:,} synthetic URLs at two parallelism levels.\n\n"
+            "| config | URLs fetched+deduped/sec | bloom build (s) | dedup+topk (s) |\n"
+            "|---|---|---|---|\n"
+            f"| local[8]  | {t8:,.0f} | {results['8']['bloom_build_sec']} | {results['8']['dedup_topk_sec']} |\n"
+            f"| local[32] | {t32:,.0f} | {results['32']['bloom_build_sec']} | {results['32']['dedup_topk_sec']} |\n\n"
+            f"**Scaling efficiency (T32/T8)/4 = {eff:.3f}** (target ≥ 0.8).\n"
+        )
+    print(json.dumps({"local8": results["8"], "local32": results["32"], "efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -71,4 +71,5 @@ def merge_upsert(
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
     dedup_updates = updates.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
     untouched = target.join(dedup_updates.select(*keys).distinct(), list(keys), "left_anti")
-    return untouched.unionByName(dedup_updates.select(*target.columns))
+    # string-key joins move the keys to the front — restore target order
+    return untouched.select(*target.columns).unionByName(dedup_updates.select(*target.columns))

@@ -114,6 +114,12 @@ class CrawlPlan:
         cfg = self.cfg
         log_parts = []
 
+        # pin the epoch's inputs: every downstream action re-reads from here
+        # instead of re-deriving the whole prior-epoch lineage
+        frontier = frontier.localCheckpoint(eager=True)
+        if seen is not None:
+            seen = seen.localCheckpoint(eager=True)
+
         allowed, denied = robots_filter(frontier, self.robots.select("host", "disallow", "crawl_delay_s"))
         log_parts.append(denied.select("url_canon", "host", "attempt").withColumn("result", F.lit("denied_robots")))
 
@@ -124,23 +130,24 @@ class CrawlPlan:
         deferred_w = deferred_w.drop("visit_start_utc", "visit_end_utc", "crawl_delay_s")
         log_parts.append(deferred_w.select("url_canon", "host", "attempt").withColumn("result", F.lit("outside_window")))
 
-        unseen = filter_unseen(in_window, bloom, seen)
+        unseen = filter_unseen(in_window, bloom, seen).localCheckpoint(eager=True)
         n_dupes = in_window.count() - unseen.count()
 
         selected = topk_per_host(unseen, cfg.per_host_budget)
         backlog = unseen.join(selected.select("url_canon"), "url_canon", "left_anti").drop("crawl_delay_s")
 
         salted = salt_hot_hosts(selected, cfg.target_rows_per_task)
-        sched = politeness_schedule(salted, cfg.epoch_budget_s, default_delay_s=cfg.default_delay_s)
+        sched = politeness_schedule(salted, cfg.epoch_budget_s, default_delay_s=cfg.default_delay_s).localCheckpoint(
+            eager=True
+        )
         runnable = sched.filter(F.col("within_budget"))
         overflow = sched.filter(~F.col("within_budget")).drop(
             "crawl_delay_s", "salt", "n_salt", "scheduled_offset_ms", "wait_ms", "within_budget"
         )
         log_parts.append(overflow.select("url_canon", "host", "attempt").withColumn("result", F.lit("deferred_budget")))
 
-        fetched = stamp_fetch_seq(fetch_pages(runnable, self.site))
+        fetched = stamp_fetch_seq(fetch_pages(runnable, self.site)).localCheckpoint(eager=True)
         ok, retry, dropped = requeue_failures(fetched)
-        ok = ok.cache()
         log_parts.append(
             ok.select("url_canon", "host", "attempt").withColumn("result", F.lit("ok"))
         )
@@ -163,9 +170,8 @@ class CrawlPlan:
             self.catalog.append_union(parse_offer_sentence(ok.filter(F.col("payload_kind") == "json_offer")), "staged_offer", epoch)
 
         # seen' = seen ∪ attempted-to-completion (ok + dropped); retries stay unseen
-        newly_seen = ok.select("url_canon").unionByName(dropped.select("url_canon")).distinct()
+        newly_seen = ok.select("url_canon").unionByName(dropped.select("url_canon")).distinct().localCheckpoint(eager=True)
         seen_next = newly_seen if seen is None else seen.select("url_canon").unionByName(newly_seen).distinct()
-        seen_next = seen_next.cache()
 
         # frontier' = backlog ∪ window-deferred ∪ budget-overflow ∪ retries ∪ new discoveries
         max_seq = frontier.agg(F.max("seq")).collect()[0][0] or 0
@@ -194,7 +200,7 @@ class CrawlPlan:
             .unionByName(retry_f)
             .unionByName(discovered)
             .dropDuplicates(["url_canon"])
-        ).cache()
+        )
 
         # lineage + per-host metrics
         fetch_log = fetched.select(
@@ -224,7 +230,8 @@ class CrawlPlan:
         self.catalog.write(bloom_df, "seen_filter", epoch)
         self.catalog.write(seen_next.toDF("url_canon"), "seen", epoch)
         self.catalog.write(frontier_next, "frontier", epoch)
-        return frontier_next, seen_next, bloom_next
+        # hand the NEXT epoch the materialized snapshots (flat lineage)
+        return self.catalog.read("frontier", epoch), self.catalog.read("seen", epoch), bloom_next
 
     # -- full run ---------------------------------------------------------------
     def run(self, seeds: DataFrame, epochs: int | None = None) -> None:

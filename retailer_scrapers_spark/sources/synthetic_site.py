@@ -249,6 +249,11 @@ def build_site_pages(spec: SiteSpec | None = None) -> pd.DataFrame:
     rows: list[dict] = []
 
     def add(url: str, host: str, page: int, category: str | None, kind: str, payload: str):
+        from retailer_scrapers_spark.functions.urls import canonicalize_py
+
+        # the table is keyed by CANONICAL url (sorted query keys etc.) —
+        # fetch resolves frontier.url_canon against it
+        url = canonicalize_py(url)
         # seeded 5xx on a deterministic subset (retry path, R4)
         status = 503 if stable_hash(url) % spec.error_every == 3 else 200
         rows.append(

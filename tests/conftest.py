@@ -50,3 +50,16 @@ def seeds_df(spark):
 @pytest.fixture(scope="session")
 def existing_df(spark):
     return spark.createDataFrame(site_gen.build_existing_products(), schemas.PRODUCTS).cache()
+
+
+@pytest.fixture(scope="session")
+def crawl_run(spark, site_df, robots_df, seeds_df, corpus_df, existing_df, tmp_path_factory):
+    """One full crawl over the synthetic web, shared by e2e + golden tests."""
+    from retailer_scrapers_spark.plans.crawl import CrawlConfig, CrawlPlan
+
+    work = str(tmp_path_factory.mktemp("crawl"))
+    cfg = CrawlConfig(workdir=work, epochs=10, per_host_budget=8)
+    plan = CrawlPlan(spark, cfg, site_df, robots_df)
+    plan.run(seeds_df)
+    products = plan.finalize(corpus_df, existing_df)
+    return plan, products

@@ -1,0 +1,87 @@
+"""Physical-plan quality gates: these assertions pin the properties that
+matter at 100 TB — predicate pushdown reaching the parquet scan, column
+pruning, broadcast joins for small dims, and shuffle counts per
+operator. If a refactor silently degrades a plan, these fail."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_and_projection_pushdown(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") < "1996-01-01").select("l_orderkey", "l_extendedprice")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # column pruning: scan reads only the 3 referenced columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_shipdate" in read_schema
+    assert "l_comment" not in read_schema and "l_quantity" not in read_schema
+
+
+def test_lookup_join_broadcasts(spark):
+    from retailer_scrapers_spark.operators.joins import lookup_join
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(F.col("o_custkey").alias("name"), "o_orderkey")
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(F.col("c_custkey").alias("name"), "c_mktsegment")
+    plan = plan_of(lookup_join(orders, cust, "name"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_single_shuffle(spark):
+    from retailer_scrapers_spark.operators.dedup import dedup_keep_promo
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_partkey").alias("name"),
+        F.col("l_quantity").alias("price"),
+        F.lit("No promo").alias("promotion_price"),
+        F.col("l_orderkey").alias("index"),
+    )
+    plan = plan_of(dedup_keep_promo(li), mode="simple")
+    assert plan.count("Exchange") == 1  # one hash partition by key, nothing else
+
+
+def test_topk_single_shuffle_and_pushdown(spark):
+    from retailer_scrapers_spark.operators.frontier import topk_per_host
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderstatus").alias("host"), F.col("o_totalprice").alias("priority"), F.col("o_orderkey").alias("seq")
+    )
+    plan = plan_of(topk_per_host(orders, 3), mode="simple")
+    assert plan.count("Exchange") == 1
+    # rank-limit pushdown: Spark turns row_number<=k into a per-partition
+    # local top-k before the shuffle (WindowGroupLimit)
+    assert "WindowGroupLimit" in plan
+
+
+def test_simhash_partial_aggregation(spark):
+    from retailer_scrapers_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(simhash(docs, bits=8), mode="simple")
+    # map-side combine: partial aggregation below the single exchange
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_whole_stage_codegen_in_parsers(spark, site_df):
+    from retailer_scrapers_spark.sources.parsers import parse_html_products
+
+    q = parse_html_products(site_df.filter(F.col("payload_kind") == "html"))
+    plan = plan_of(q, mode="simple")
+    assert "EvalPython" not in plan  # the whole parse stage is JVM-side
+    assert "Generate posexplode" in plan  # the 1→N record fan-out (S3)
+    codegen = plan_of(q, mode="codegen")
+    assert "WholeStageCodegen subtrees" in codegen
