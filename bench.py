@@ -70,6 +70,8 @@ def frontier_throughput(spark, n_urls: int) -> dict:
     from retailer_scrapers_spark.operators.bloom import BloomFilter, build_bloom, filter_unseen
     from retailer_scrapers_spark.operators.frontier import topk_per_host
 
+    import math
+
     n_hosts = max(n_urls // 2048, 16)  # ~2k URLs per host
     raw = spark.range(n_urls).select(
         F.concat(
@@ -81,30 +83,37 @@ def frontier_throughput(spark, n_urls: int) -> dict:
         ).alias("url"),
         F.col("id"),
     )
-    seen_src = raw.filter(F.col("id") % 2 == 0)
-    seen = canonicalize_urls(seen_src, "url").select("url_canon")
+    # prior-epoch state (NOT timed): the already-seen half, materialized
+    seen = canonicalize_urls(raw.filter(F.col("id") % 2 == 0), "url").select("url_canon").localCheckpoint(eager=True)
 
+    # timed stage 1: canonicalize the incoming frontier (F8)
     t0 = time.time()
-    import math
+    frontier = (
+        canonicalize_urls(raw, "url")
+        .select("url_canon", "host", F.col("id").alias("seq"), F.lit(1.0).alias("priority"))
+        .localCheckpoint(eager=True)
+    )
+    t_canon = time.time() - t0
 
+    # timed stage 2: per-partition Bloom build over the seen set + merge
+    t1 = time.time()
     m_bits = max(64, int(-(n_urls // 2) * math.log(1e-3) / (math.log(2) ** 2)))
     bloom = build_bloom(seen, m_bits=m_bits, k_hashes=10)
-    t_build = time.time() - t0
+    t_build = time.time() - t1
 
-    frontier = canonicalize_urls(raw, "url").select(
-        "url_canon", F.col("id").alias("seq"), F.lit(1.0).alias("priority")
-    )
-    t1 = time.time()
+    # timed stage 3: Bloom-prefiltered exact dedup (D6) + host top-k (R6)
+    t2 = time.time()
     unseen = filter_unseen(frontier, bloom, seen)
     survivors = topk_per_host(unseen, per_host_budget=1 << 30)
     n_out = survivors.count()
-    t_dedup = time.time() - t1
+    t_dedup = time.time() - t2
 
     assert n_out == n_urls - n_urls // 2, f"dedup wrong: {n_out}"
-    total = t_build + t_dedup
+    total = t_canon + t_build + t_dedup
     return {
         "n_urls": n_urls,
         "n_hosts": n_hosts,
+        "canonicalize_sec": round(t_canon, 3),
         "bloom_build_sec": round(t_build, 3),
         "dedup_topk_sec": round(t_dedup, 3),
         "total_sec": round(total, 3),

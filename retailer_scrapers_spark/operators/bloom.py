@@ -96,6 +96,13 @@ class BloomFilter:
         bits = np.frombuffer(data[_HEADER.size :], dtype=np.uint64, count=n_words).copy()
         return cls(m_bits, k, bits, n_items)
 
+    @classmethod
+    def deserialize_readonly(cls, data: bytes) -> "BloomFilter":
+        """Zero-copy view over the serialized bytes (probe-only use)."""
+        m_bits, n_words, k, n_items = _HEADER.unpack(data[: _HEADER.size])
+        bits = np.frombuffer(data[_HEADER.size :], dtype=np.uint64, count=n_words)
+        return cls(m_bits, k, bits, n_items)
+
 
 def with_url_hashes(df: DataFrame, url_col: str = "url_canon") -> DataFrame:
     """Attach the two JVM-side hash columns the filter consumes."""
@@ -125,6 +132,22 @@ def build_bloom(df: DataFrame, url_col: str = "url_canon", m_bits: int = 1 << 20
     return out
 
 
+_probe_filter_cache: dict[int, tuple[bytes, BloomFilter]] = {}
+
+
+def _cached_probe_filter(data: bytes) -> BloomFilter:
+    """Per-worker memo: the broadcast value is the same bytes object across
+    batches, so the zero-copy view is built once per executor. The cache
+    pins ``data`` so the id key can never dangle."""
+    hit = _probe_filter_cache.get(id(data))
+    if hit is None or hit[0] is not data:
+        bf = BloomFilter.deserialize_readonly(data)
+        _probe_filter_cache.clear()  # hold at most one filter per worker
+        _probe_filter_cache[id(data)] = (data, bf)
+        return bf
+    return hit[1]
+
+
 def probe_bloom(df: DataFrame, bloom: BloomFilter, url_col: str = "url_canon", out_col: str = "__maybe_seen") -> DataFrame:
     """Add a boolean ``out_col``: True when the URL is *possibly* in the
     filter (no false negatives). Bits ship to executors via broadcast."""
@@ -133,7 +156,7 @@ def probe_bloom(df: DataFrame, bloom: BloomFilter, url_col: str = "url_canon", o
 
     @F.pandas_udf("boolean")
     def _probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        bf = BloomFilter.deserialize(b.value)
+        bf = _cached_probe_filter(b.value)
         return pd.Series(bf.contains_hashes(h1.to_numpy(), h2.to_numpy()))
 
     return (

@@ -41,7 +41,6 @@ from retailer_scrapers_spark.operators.frontier import (
 from retailer_scrapers_spark.operators.joins import (
     PLACEHOLDER_IMAGE_URL,
     lookup_join,
-    merge_upsert,
     skip_refetch_flag,
 )
 from retailer_scrapers_spark.operators.politeness import (
@@ -305,11 +304,24 @@ class CrawlPlan:
         retailer_map = spark.createDataFrame(list(RETAILER_OF_HOST.items()), "host string, retailer string")
         rows = rows.join(F.broadcast(retailer_map), "host", "left")
 
-        # O2 — deterministic contiguous ids per retailer over (category, page, pos)
+        # O2 + S10/D4 — deterministic contiguous ids per retailer over
+        # (category, page, pos), RESUMING from max(existing index)+1 per
+        # retailer (scrape_pnp.py:364-378: next_index = max(floor, max+1))
         from retailer_scrapers_spark.operators.frontier import assign_global_indexes
 
+        offsets = dict(self.cfg.base_offsets)
+        prev_products = cat.read("products")
+        resume_src = prev_products if prev_products is not None else existing
+        if resume_src is not None:
+            maxes = {
+                r["retailer"]: r["m"]
+                for r in resume_src.groupBy("retailer").agg(F.max("index").alias("m")).collect()
+            }
+            for retailer, m in maxes.items():
+                if m is not None:
+                    offsets[retailer] = max(offsets.get(retailer, 0), m + 1)
         rows = rows.withColumn("__cat", F.coalesce(F.col("category"), F.lit("")))
-        rows = assign_global_indexes(rows, self.cfg.base_offsets, order_cols=("__cat", "page", "pos"))
+        rows = assign_global_indexes(rows, offsets, order_cols=("__cat", "page", "pos"))
 
         # image pipeline: F5 skip-refetch → S8 corpus join → C12 phash verify
         from retailer_scrapers_spark.functions.images import phash_udf
@@ -350,21 +362,21 @@ class CrawlPlan:
             "index", "name", "price", "promotion_price", "retailer", "image_url", "promotion_valid"
         )
 
-        # reference cleanup order (scrape_pnp.py:423-438): D3 → D2 → D1, per retailer floors
-        assembled = drop_duplicates_first(assembled, ("name", "price"), "index")
+        # K4 union with prior state, then the reference's cleanup order
+        # (scrape_pnp.py:423-438): D3 → D2 → D1 over the COMBINED rows —
+        # the reference re-reads the full CSV (old + appended) before fixing
+        combined = assembled
+        if resume_src is not None:
+            combined = resume_src.select(*assembled.columns).unionByName(assembled)
+        combined = drop_duplicates_first(combined, ("name", "price"), "index")
         repaired = None
         for retailer, floor in REPAIR_FLOORS.items():
-            sub = assembled.filter(F.col("retailer") == retailer)  # F3
+            sub = combined.filter(F.col("retailer") == retailer)  # F3
             sub = repair_duplicate_indexes(sub, "index", floor, ("name", "price"))
             repaired = sub if repaired is None else repaired.unionByName(sub)
-        other = assembled.filter(~F.col("retailer").isin(list(REPAIR_FLOORS)))
-        repaired = repaired.unionByName(other) if repaired is not None else assembled
+        other = combined.filter(~F.col("retailer").isin(list(REPAIR_FLOORS)))
+        repaired = repaired.unionByName(other) if repaired is not None else combined
         deduped = dedup_keep_promo(repaired, ("name", "price"))
 
-        # K2 merge-upsert into the accumulated products table, K4 union semantics
-        prev = cat.read("products")
-        if existing is not None and prev is None:
-            prev = existing.select(*deduped.columns)
-        out = merge_upsert(prev, deduped, ("name", "price"), "index") if prev is not None else deduped
-        cat.write(out, "products", epoch_for_write)
+        cat.write(deduped, "products", epoch_for_write)
         return cat.read("products")
