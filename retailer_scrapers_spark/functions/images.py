@@ -237,6 +237,43 @@ def image_stats_udf(blob: pd.Series, fmt: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"w": ws, "h": hs, "mean_px": means})
 
 
+def frame_sample(df, n_frames: int = 4, blob_col: str = "bytes", id_col: str = "image_id"):
+    """Video frame-sampling stage over ``mapInPandas`` (multimodal brief).
+
+    Real Spark plumbing — schema, batching, 1→N row fan-out — with the
+    codec STUBBED: no video library exists in this container, so the
+    "decoder" is a clearly-marked deterministic fake that derives
+    ``n_frames`` 16×16 grayscale frames from a hash of the blob bytes.
+    Swapping in a real decoder (pyav/ffmpeg) changes ONLY the inner
+    ``fake_decode_frames`` function; the distributed shape is identical.
+    """
+    import pyspark.sql.functions as _F  # noqa: F401 (kept for parity with siblings)
+
+    out_schema = f"{id_col} string, frame_idx int, frame_w int, frame_h int, frame_bytes binary"
+
+    def fake_decode_frames(blob: bytes) -> list[np.ndarray]:
+        # DETERMINISTIC FAKE (container has no video codec): seeded frames
+        seed = zlib.crc32(blob) & 0xFFFFFFFF
+        rng = np.random.default_rng(seed)
+        return [rng.integers(0, 256, (16, 16), dtype=np.uint8) for _ in range(n_frames)]
+
+    def sample_partition(batches):
+        for pdf in batches:
+            out = {id_col: [], "frame_idx": [], "frame_w": [], "frame_h": [], "frame_bytes": []}
+            for vid, blob in zip(pdf[id_col].values, pdf[blob_col].values):
+                if blob is None:
+                    continue
+                for i, frame in enumerate(fake_decode_frames(bytes(blob))):
+                    out[id_col].append(vid)
+                    out["frame_idx"].append(i)
+                    out["frame_h"].append(frame.shape[0])
+                    out["frame_w"].append(frame.shape[1])
+                    out["frame_bytes"].append(encode_png(frame))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(sample_partition, out_schema)
+
+
 def make_resize_udf(out_w: int, out_h: int):
     """Resize-to-(out_w,out_h) stage: decode → block-mean resize → re-encode
     PNG. Returned as a fresh UDF so the target size is closure-captured."""

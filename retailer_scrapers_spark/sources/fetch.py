@@ -32,13 +32,20 @@ def fetch_pages(scheduled: DataFrame, site: DataFrame) -> DataFrame:
         F.col("payload"),
         F.col("status").alias("__site_status"),
     )
+    from retailer_scrapers_spark.functions.prices import pick_user_agent
+
     joined = scheduled.join(site_cols, "url_canon", "left")
     status = (
         F.when(F.col("__site_status").isNull(), F.lit(404))
         .when((F.col("__site_status") >= 500) & (F.col("attempt") == 0), F.col("__site_status"))
         .otherwise(F.lit(200))
     )
-    return joined.withColumn("status", status).drop("__site_status")
+    return (
+        joined.withColumn("status", status)
+        # C8 — deterministic per-URL UA rotation (scrape_shoprite.py:43-49)
+        .withColumn("user_agent", pick_user_agent(F.col("url_canon")))
+        .drop("__site_status")
+    )
 
 
 def stamp_fetch_seq(fetched: DataFrame) -> DataFrame:

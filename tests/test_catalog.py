@@ -1,0 +1,44 @@
+"""K5/R8 — snapshot catalog: atomic commits, time travel, append union."""
+
+import os
+import shutil
+
+from retailer_scrapers_spark.plans.catalog import SnapshotCatalog
+
+
+def test_time_travel_and_latest(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    cat.write(spark.range(3).toDF("id"), "t", 0)
+    cat.write(spark.range(5).toDF("id"), "t", 1)
+    assert cat.committed_epochs("t") == [0, 1]
+    assert cat.latest_epoch("t") == 1
+    assert cat.read("t", 0).count() == 3  # time travel (the K5 backup analogue)
+    assert cat.read("t").count() == 5
+    assert cat.read_meta("t", 0)["epoch"] == 0
+
+
+def test_uncommitted_epoch_invisible(spark, tmp_path):
+    """A snapshot without the _COMMIT marker (torn write) is never read."""
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    cat.write(spark.range(3).toDF("id"), "t", 0)
+    cat.write(spark.range(9).toDF("id"), "t", 1)
+    os.remove(os.path.join(str(tmp_path), "t", "epoch=1", "_COMMIT"))  # simulate crash
+    assert cat.committed_epochs("t") == [0]
+    assert cat.read("t").count() == 3
+
+
+def test_inprogress_dir_cleaned(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    stale = os.path.join(str(tmp_path), "t", "epoch=0.inprogress")
+    os.makedirs(stale)
+    cat.write(spark.range(2).toDF("id"), "t", 0)
+    assert not os.path.exists(stale)
+    assert cat.read("t").count() == 2
+
+
+def test_append_union(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    cat.append_union(spark.range(2).toDF("id"), "t", 0)
+    out = cat.append_union(spark.range(2, 5).toDF("id"), "t", 1)
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2, 3, 4]
+    assert cat.read("t", 0).count() == 2  # earlier snapshot untouched
