@@ -524,6 +524,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dup_lsh"] = embedding_near_dup_lsh
 
+    def parse_html_rows(spark, sf):
+        # S1–S3/P1/F1/F6/C1/C3 — HTML page scan → product rows (synthetic web)
+        from retailer_scrapers_spark import schemas
+        from retailer_scrapers_spark.sources.parsers import parse_html_products
+        from retailer_scrapers_spark.sources.synthetic_site import SiteSpec, build_site_pages
+
+        site = spark.createDataFrame(build_site_pages(SiteSpec()), schemas.SITE_PAGES)
+        return parse_html_products(site.filter(F.col("payload_kind") == "html"))
+
+    q["parse_html_rows"] = parse_html_rows
+
+    def parse_pnp_rows(spark, sf):
+        # S4/P2/C5 — JSON-API scan with nested-struct projections
+        from retailer_scrapers_spark import schemas
+        from retailer_scrapers_spark.sources.parsers import parse_pnp_products
+        from retailer_scrapers_spark.sources.synthetic_site import SiteSpec, build_site_pages
+
+        site = spark.createDataFrame(build_site_pages(SiteSpec()), schemas.SITE_PAGES)
+        return parse_pnp_products(site.filter(F.col("payload_kind") == "json_pnp"))
+
+    q["parse_pnp_rows"] = parse_pnp_rows
+
+    def politeness_schedule_rows(spark, sf):
+        # R1/R7 — per-host politeness schedule with skew salting over a
+        # synthetic frontier derived from orders (simulated clock)
+        from retailer_scrapers_spark.operators.frontier import salt_hot_hosts
+        from retailer_scrapers_spark.operators.politeness import politeness_schedule
+
+        orders = _t(spark, sf, "orders").limit(2000)
+        frontier = orders.select(
+            F.concat(F.lit("https://h"), (F.col("o_orderkey") % 5).cast("string"), F.lit(".test/o/"),
+                     F.col("o_orderkey").cast("string")).alias("url_canon"),
+            F.concat(F.lit("h"), (F.col("o_orderkey") % 5).cast("string"), F.lit(".test")).alias("host"),
+            F.round("o_totalprice", 2).alias("priority"),
+            F.col("o_orderkey").alias("seq"),
+            F.lit(5.0).alias("crawl_delay_s"),
+        )
+        salted = salt_hot_hosts(frontier, target_rows_per_task=200)
+        out = politeness_schedule(salted, epoch_budget_s=1e6)
+        return out.select("url_canon", "host", "salt", "scheduled_offset_ms", "wait_ms", "within_budget")
+
+    q["politeness_schedule_rows"] = politeness_schedule_rows
+
+    def o4_bucket_listing(spark, sf):
+        # O4 — object list sorted by name desc, limit (scrape_shoprite.py:107-110)
+        part = _t(spark, sf, "part")
+        return part.select("p_partkey", "p_name").orderBy(
+            F.col("p_name").desc(), F.col("p_partkey").desc()
+        ).limit(100)
+
+    q["o4_bucket_listing"] = o4_bucket_listing
+
+    def f7_sanitize_names(spark, sf):
+        # F7 — NFKD→ascii→[^\w.-]→'_' (identity-NFKD on this ASCII corpus,
+        # which keeps the oracle expressible)
+        from retailer_scrapers_spark.functions.text import sanitize_name
+
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", sanitize_name(F.substring("text", 1, 30)).alias("sanitized"))
+
+    q["f7_sanitize_names"] = f7_sanitize_names
+
+    def frame_sample_rows(spark, sf):
+        # multimodal frame-sampling plumbing (stubbed codec, real fan-out)
+        from retailer_scrapers_spark import schemas
+        from retailer_scrapers_spark.functions.images import frame_sample
+        from retailer_scrapers_spark.sources.synthetic_site import SiteSpec, build_corpus
+
+        corpus = spark.createDataFrame(build_corpus(SiteSpec()), schemas.CORPUS).limit(20)
+        return frame_sample(corpus, n_frames=3).select("image_id", "frame_idx", "frame_w", "frame_h")
+
+    q["frame_sample_rows"] = frame_sample_rows
+
     def image_phash_pipeline(spark, sf):
         # multimodal plumbing: synthetic corpus → decode → stats + phash
         from retailer_scrapers_spark import schemas
@@ -808,6 +881,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
         FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
         WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.12
+    """
+
+    o["o4_bucket_listing"] = """
+        SELECT p_partkey, p_name FROM part
+        ORDER BY p_name DESC, p_partkey DESC LIMIT 100
+    """
+
+    o["f7_sanitize_names"] = """
+        SELECT doc_id,
+               regexp_replace(substring(text, 1, 30), '[^a-zA-Z0-9_.\\-]', '_', 'g') AS sanitized
+        FROM documents
     """
 
     o["lang_id"] = _LANG_ID_SQL

@@ -39,7 +39,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_HEADER = struct.Struct("<QQIQ")  # m_bits, n_words, k_hashes, n_items
+_HEADER = struct.Struct("<QQIQI")  # m_bits, n_words, k_hashes, n_items, n_slices
 H1_SEED = 0
 H2_SEED = 1
 
@@ -47,10 +47,28 @@ H2_SEED = 1
 class BloomFilter:
     """Numpy-backed Bloom filter with Kirsch-Mitzenmacher double hashing."""
 
-    def __init__(self, m_bits: int, k_hashes: int, bits: np.ndarray | None = None, n_items: int = 0):
-        self.m_bits = int(m_bits)
+    def __init__(
+        self,
+        m_bits: int,
+        k_hashes: int,
+        bits: np.ndarray | None = None,
+        n_items: int = 0,
+        n_slices: int = 1,
+    ):
+        """``n_slices`` > 1 selects the KEY-SPACE-SLICED layout: the bit
+        table is split into ``n_slices`` disjoint sub-filters and a key
+        belongs to exactly one slice (low bits of h1). Each partition
+        then builds only the slices its keys hash to — total build work
+        and state volume stay O(m) no matter how many partitions run,
+        where the naive per-partition-full-filter design costs O(m × P).
+        ``n_slices`` must be a power of two (so int64 masking == uint64
+        modulo); 1 degenerates to a classic single filter."""
+        assert n_slices & (n_slices - 1) == 0, "n_slices must be a power of two"
+        self.n_slices = int(n_slices)
+        self.m_slice = ((int(m_bits) + n_slices * 64 - 1) // (n_slices * 64)) * 64
+        self.m_bits = self.m_slice * self.n_slices
         self.k = int(k_hashes)
-        n_words = (self.m_bits + 63) // 64
+        n_words = self.m_bits // 64
         self.bits = bits if bits is not None else np.zeros(n_words, dtype=np.uint64)
         self.n_items = int(n_items)
 
@@ -62,11 +80,16 @@ class BloomFilter:
         return cls(m, k)
 
     def _indexes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        """(len, k) bit indexes; inputs are int64 from xxhash64."""
+        """(len, k) GLOBAL bit indexes; inputs are int64 from xxhash64."""
         u1 = h1.astype(np.uint64)
         u2 = h2.astype(np.uint64) | np.uint64(1)  # odd so strides cover the table
         i = np.arange(self.k, dtype=np.uint64)[None, :]
-        return (u1[:, None] + i * u2[:, None]) % np.uint64(self.m_bits)
+        if self.n_slices == 1:
+            return (u1[:, None] + i * u2[:, None]) % np.uint64(self.m_bits)
+        shift = np.uint64(self.n_slices.bit_length() - 1)
+        s = u1 & np.uint64(self.n_slices - 1)
+        local = ((u1 >> shift)[:, None] + i * u2[:, None]) % np.uint64(self.m_slice)
+        return s[:, None] * np.uint64(self.m_slice) + local
 
     def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
         """Set bits for a hash batch.
@@ -92,26 +115,46 @@ class BloomFilter:
         return hit.all(axis=1)
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
-        assert (self.m_bits, self.k) == (other.m_bits, other.k), "incompatible filters"
+        assert (self.m_bits, self.k, self.n_slices) == (other.m_bits, other.k, other.n_slices), "incompatible filters"
         self.bits |= other.bits
         self.n_items += other.n_items
         return self
 
     def serialize(self) -> bytes:
-        return _HEADER.pack(self.m_bits, len(self.bits), self.k, self.n_items) + self.bits.tobytes()
+        return _HEADER.pack(self.m_bits, len(self.bits), self.k, self.n_items, self.n_slices) + self.bits.tobytes()
 
     @classmethod
     def deserialize(cls, data: bytes) -> "BloomFilter":
-        m_bits, n_words, k, n_items = _HEADER.unpack(data[: _HEADER.size])
+        m_bits, n_words, k, n_items, n_slices = _HEADER.unpack(data[: _HEADER.size])
         bits = np.frombuffer(data[_HEADER.size :], dtype=np.uint64, count=n_words).copy()
-        return cls(m_bits, k, bits, n_items)
+        return cls(m_bits, k, bits, n_items, n_slices)
 
     @classmethod
     def deserialize_readonly(cls, data: bytes) -> "BloomFilter":
         """Zero-copy view over the serialized bytes (probe-only use)."""
-        m_bits, n_words, k, n_items = _HEADER.unpack(data[: _HEADER.size])
+        m_bits, n_words, k, n_items, n_slices = _HEADER.unpack(data[: _HEADER.size])
         bits = np.frombuffer(data[_HEADER.size :], dtype=np.uint64, count=n_words)
-        return cls(m_bits, k, bits, n_items)
+        return cls(m_bits, k, bits, n_items, n_slices)
+
+
+def filter_state_rows(bloom: BloomFilter) -> list[tuple]:
+    """Per-slice checkpoint rows (north_rule: the serialized membership
+    filter state is partitioned, not one driver blob). Row shape matches
+    ``schemas.SEEN_FILTER_STATE`` (partition_id == slice_id)."""
+    words = bloom.m_slice // 64 if bloom.n_slices > 1 else len(bloom.bits)
+    rows = []
+    for s in range(bloom.n_slices):
+        seg = bloom.bits[s * words : (s + 1) * words]
+        rows.append((s, bytearray(seg.tobytes()), bloom.n_items, bloom.m_bits, bloom.k, bloom.n_slices))
+    return rows
+
+
+def filter_from_state_rows(rows) -> BloomFilter:
+    """Rebuild the filter from checkpointed per-slice rows."""
+    rows = sorted(rows, key=lambda r: r[0])
+    _, _, n_items, m_bits, k, n_slices = rows[0][0], None, rows[0][2], rows[0][3], rows[0][4], rows[0][5]
+    bits = np.concatenate([np.frombuffer(bytes(r[1]), dtype=np.uint64) for r in rows])
+    return BloomFilter(m_bits, k, bits.copy(), n_items, n_slices)
 
 
 def with_url_hashes(df: DataFrame, url_col: str = "url_canon") -> DataFrame:
@@ -121,28 +164,80 @@ def with_url_hashes(df: DataFrame, url_col: str = "url_canon") -> DataFrame:
     )
 
 
-def build_bloom(df: DataFrame, url_col: str = "url_canon", m_bits: int = 1 << 20, k_hashes: int = 7) -> BloomFilter:
-    """Build the union filter: per-partition numpy builds via ``mapInArrow``
-    (each task emits its serialized slice — a few MB), then a driver
-    OR-merge. The collect moves only filter bytes, never rows."""
-    hashed = with_url_hashes(df, url_col).select("__h1", "__h2")
+def _next_pow2(n: int) -> int:
+    return 1 << max(n - 1, 1).bit_length() if n & (n - 1) else max(n, 1)
+
+
+def build_bloom(
+    df: DataFrame,
+    url_col: str = "url_canon",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 7,
+    n_slices: int | None = None,
+) -> BloomFilter:
+    """Build the partitioned URL-seen filter (north_rule D6).
+
+    Key-space-sliced: keys are shuffled by their slice id (low bits of
+    h1), each task builds only the m/n_slices-bit sub-filters for the
+    slices it received, and the driver places the slices into the
+    global table. Total bit-array work AND bytes collected are O(m)
+    regardless of parallelism (the naive per-partition-full-filter
+    design is O(m × P) both ways — it measurably anti-scales past 8
+    cores). The per-slice rows are exactly the per-partition state the
+    checkpoint stores (schemas.SEEN_FILTER_STATE).
+    """
+    spark = df.sparkSession
+    if n_slices is None:
+        n_slices = _next_pow2(spark.sparkContext.defaultParallelism)
+    template = BloomFilter(m_bits, k_hashes, n_slices=n_slices)
+    m_slice, shift = template.m_slice, n_slices.bit_length() - 1
+
+    hashed = (
+        with_url_hashes(df, url_col)
+        .select("__h1", "__h2", F.col("__h1").bitwiseAND(F.lit(n_slices - 1)).alias("__slice"))
+        .repartition(min(n_slices, spark.sparkContext.defaultParallelism), "__slice")
+    )
 
     def build_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        # gather the partition's hashes first so the bool-scatter + packbits
-        # in add_hashes runs ONCE per partition, not once per Arrow batch
         h1s, h2s = [], []
         for batch in batches:
             h1s.append(batch.column("__h1").to_numpy(zero_copy_only=False))
             h2s.append(batch.column("__h2").to_numpy(zero_copy_only=False))
-        bf = BloomFilter(m_bits, k_hashes)
-        if h1s:
-            bf.add_hashes(np.concatenate(h1s), np.concatenate(h2s))
-        yield pa.RecordBatch.from_pydict({"filter_bytes": pa.array([bf.serialize()], type=pa.binary())})
+        if not h1s:
+            return
+        u1 = np.concatenate(h1s).astype(np.uint64)
+        u2 = np.concatenate(h2s).astype(np.uint64) | np.uint64(1)
+        s = (u1 & np.uint64(n_slices - 1)).astype(np.int64)
+        order = np.argsort(s, kind="stable")
+        u1, u2, s = u1[order], u2[order], s[order]
+        bounds = np.flatnonzero(np.diff(s)) + 1
+        slice_ids = s[np.concatenate([[0], bounds])] if len(s) else np.array([], dtype=np.int64)
+        out_ids, out_bytes, out_counts = [], [], []
+        i = np.arange(k_hashes, dtype=np.uint64)[None, :]
+        for seg, sid in zip(np.split(np.arange(len(s)), bounds), slice_ids):
+            lu1, lu2 = u1[seg], u2[seg]
+            local = ((lu1 >> np.uint64(shift))[:, None] + i * lu2[:, None]) % np.uint64(m_slice)
+            as_bool = np.zeros(m_slice, dtype=bool)
+            as_bool[local.ravel().astype(np.int64)] = True
+            out_ids.append(int(sid))
+            out_bytes.append(np.packbits(as_bool, bitorder="little").tobytes())
+            out_counts.append(len(seg))
+        yield pa.RecordBatch.from_pydict(
+            {
+                "slice_id": pa.array(out_ids, type=pa.int32()),
+                "slice_bytes": pa.array(out_bytes, type=pa.binary()),
+                "n_items": pa.array(out_counts, type=pa.int64()),
+            }
+        )
 
-    parts = hashed.mapInArrow(build_partition, "filter_bytes binary").collect()
-    out = BloomFilter(m_bits, k_hashes)
-    for row in parts:
-        out.merge(BloomFilter.deserialize(bytes(row.filter_bytes)))
+    rows = hashed.mapInArrow(build_partition, "slice_id int, slice_bytes binary, n_items long").collect()
+    out = template
+    words_per_slice = m_slice // 64
+    for row in rows:
+        seg = np.frombuffer(bytes(row.slice_bytes), dtype=np.uint64, count=words_per_slice)
+        lo = row.slice_id * words_per_slice
+        out.bits[lo : lo + words_per_slice] |= seg
+        out.n_items += row.n_items
     return out
 
 

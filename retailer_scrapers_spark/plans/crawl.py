@@ -73,6 +73,7 @@ class CrawlConfig:
     logical_now_s: int = 5 * 3600  # 05:00 UTC — inside the visit window
     bloom_bits: int = 1 << 18
     bloom_hashes: int = 7
+    bloom_slices: int = 8  # power of two; per-slice state rows in checkpoint
     target_rows_per_task: int = 10_000
     default_delay_s: float = 10.0
     base_offsets: dict[str, int] = field(default_factory=lambda: dict(BASE_OFFSETS))
@@ -219,12 +220,17 @@ class CrawlPlan:
         )
         self.catalog.write(metrics, "metrics", epoch)
 
-        # membership-filter state: rebuild from the (small) delta and merge
-        delta_bloom = build_bloom(newly_seen, "url_canon", cfg.bloom_bits, cfg.bloom_hashes)
+        # membership-filter state: rebuild from the (small) delta, merge,
+        # checkpoint per-slice (north_rule: partitioned serialized state)
+        from retailer_scrapers_spark.operators.bloom import filter_state_rows
+
+        delta_bloom = build_bloom(
+            newly_seen, "url_canon", cfg.bloom_bits, cfg.bloom_hashes, n_slices=cfg.bloom_slices
+        )
         bloom_next = delta_bloom if bloom is None else bloom.merge(delta_bloom)
         bloom_df = self.spark.createDataFrame(
-            [(0, bytearray(bloom_next.serialize()), bloom_next.n_items, bloom_next.m_bits, bloom_next.k)],
-            "partition_id int, filter_bytes binary, n_items long, m_bits long, k_hashes int",
+            filter_state_rows(bloom_next),
+            "partition_id int, filter_bytes binary, n_items long, m_bits long, k_hashes int, n_slices int",
         )
         self.catalog.write(bloom_df, "seen_filter", epoch)
         self.catalog.write(seen_next.toDF("url_canon"), "seen", epoch)
@@ -240,10 +246,14 @@ class CrawlPlan:
             frontier = self._init_frontier(seeds)
             seen, bloom = None, None
         else:  # resume from checkpoint (R8)
+            from retailer_scrapers_spark.operators.bloom import filter_from_state_rows
+
             frontier = self.catalog.read("frontier")
             seen = self.catalog.read("seen")
-            row = self.catalog.read("seen_filter").collect()[0]
-            bloom = BloomFilter.deserialize(bytes(row.filter_bytes))
+            state = self.catalog.read("seen_filter").collect()
+            bloom = filter_from_state_rows(
+                [(r.partition_id, r.filter_bytes, r.n_items, r.m_bits, r.k_hashes, r.n_slices) for r in state]
+            )
         for epoch in range(start, epochs):
             if frontier.isEmpty():
                 break
@@ -343,12 +353,23 @@ class CrawlPlan:
             "phash_ok",
             F.when(F.col("bytes").isNotNull(), phash_udf(F.col("bytes"), F.col("fmt")) == F.col("phash_expected")).otherwise(F.lit(None)),
         )
-        images_sink = imaged.filter(F.col("bytes").isNotNull()).select("image_id", "bytes", "w", "h", "fmt", F.col("caption"), F.col("phash_expected").alias("phash"))
+        # K3 verify-after-write: only blobs whose recomputed phash matches
+        # the corpus phash enter the sink (the reference re-verifies each
+        # upload, scrape_shoprite.py:104-117); mismatches are counted.
+        n_phash_bad = imaged.filter(F.col("phash_ok") == False).count()  # noqa: E712
+        images_sink = imaged.filter(F.col("bytes").isNotNull() & F.col("phash_ok")).select(
+            "image_id", "bytes", "w", "h", "fmt", F.col("caption"), F.col("phash_expected").alias("phash")
+        )
         prev_images = cat.read("images")
         if prev_images is not None:  # D7 — exists-check as anti-join (idempotent)
             images_sink = images_sink.join(prev_images.select("image_id"), "image_id", "left_anti")
         epoch_for_write = cat.latest_epoch("frontier") or 0
         cat.append_union(images_sink, "images", epoch_for_write)
+        cat.write(
+            self.spark.createDataFrame([(epoch_for_write, n_phash_bad)], "epoch int, n_phash_mismatch long"),
+            "image_verify",
+            epoch_for_write,
+        )
 
         assembled = imaged.drop("bytes", "w", "h", "fmt", "caption", "phash_expected", "phash_ok").unionByName(
             no_fetch

@@ -61,6 +61,23 @@ def test_filter_unseen_exact(spark):
     assert got == sorted(f"https://f.test/{i}" for i in range(300))  # EXACT despite Bloom fpp
 
 
+def test_sliced_build_equivalent_and_state_roundtrip(spark):
+    """Key-space-sliced build (the O(m)-total scale path) has the same
+    membership semantics, and its per-slice checkpoint rows round-trip."""
+    import numpy as np
+
+    from retailer_scrapers_spark.operators.bloom import filter_from_state_rows, filter_state_rows
+
+    urls = spark.createDataFrame([(f"https://h{i % 5}.test/{i}",) for i in range(3000)], "url_canon string")
+    bf = build_bloom(urls, m_bits=1 << 16, k_hashes=7, n_slices=8)
+    assert bf.n_slices == 8 and bf.n_items == 3000
+    assert probe_bloom(urls, bf).filter(~F.col("__maybe_seen")).count() == 0  # no FN
+    fresh = spark.createDataFrame([(f"https://x.test/{i}",) for i in range(3000)], "url_canon string")
+    assert probe_bloom(fresh, bf).filter(F.col("__maybe_seen")).count() < 90
+    rt = filter_from_state_rows(filter_state_rows(bf))
+    assert np.array_equal(rt.bits, bf.bits) and (rt.m_bits, rt.k, rt.n_slices) == (bf.m_bits, bf.k, bf.n_slices)
+
+
 def test_filter_unseen_without_bloom(spark):
     seen = spark.createDataFrame([("a",)], "url_canon string")
     frontier = spark.createDataFrame([("a",), ("b",)], "url_canon string")
