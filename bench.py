@@ -180,6 +180,14 @@ def main() -> None:
     spark.stop()
 
 
+def _burn(seconds: float) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < seconds:
+        x += 1
+    return x
+
+
 def _hardware_ceiling(a: int, b: int, seconds: float = 2.0) -> float:
     """Raw-CPU scaling ceiling from a→b processes (pure Python busy loops).
 
@@ -188,25 +196,22 @@ def _hardware_ceiling(a: int, b: int, seconds: float = 2.0) -> float:
     Spark efficiency there is physically impossible. The report states
     the ceiling next to each measured pair."""
     import multiprocessing as mp
-    import time as _t
-
-    def burn(_):
-        t = _t.time()
-        x = 0
-        while _t.time() - t < seconds:
-            x += 1
-        return x
 
     totals = {}
     for procs in (a, b):
         with mp.Pool(procs) as p:
-            totals[procs] = sum(p.map(burn, range(procs)))
+            totals[procs] = sum(p.map(_burn, [seconds] * procs))
     return totals[b] / totals[a] / (b / a)
 
 
 def scaling_report() -> None:
     """Same job at N and 4N cores (both 2→8 and 8→32) → BENCH/BASELINE.md."""
     levels = ("2", "8", "32")
+    # measure the raw-CPU ceilings FIRST, on a quiet machine — measuring
+    # after the JVM runs picks up shutdown noise and skews the loops
+    time.sleep(3)
+    ceil_2_8 = _hardware_ceiling(2, 8)
+    ceil_8_32 = _hardware_ceiling(8, 32)
     results = {}
     for cores in levels:
         env = dict(os.environ, SPARK_GRAFT_CPUS=cores, SPARK_GRAFT_BENCH_N=str(BENCH_N))
@@ -225,8 +230,6 @@ def scaling_report() -> None:
     tput = {c: results[c]["urls_per_sec"] for c in levels}
     eff_2_8 = (tput["8"] / tput["2"]) / 4.0
     eff_8_32 = (tput["32"] / tput["8"]) / 4.0
-    ceil_2_8 = _hardware_ceiling(2, 8)
-    ceil_8_32 = _hardware_ceiling(8, 32)
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
