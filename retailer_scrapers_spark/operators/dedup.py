@@ -125,17 +125,19 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 32, shingle_k: int = 5
 ) -> DataFrame:
     """MinHash signature per document: for hash function j, the min over
-    shingles of ``xxhash64(shingle, seed=j)``. Entirely built-in
-    (transform + array_min per seed) — stays in codegen, no UDF."""
-    sh = _shingles(text_col, shingle_k)
+    shingles of ``xxhash64(shingle, seed=j)``.
 
-    def _seeded(j: int):
-        # one-arg lambda on purpose: pyspark feeds the element index to
-        # two-arg lambdas, which would clobber the seed
-        return lambda s: F.xxhash64(s, F.lit(j))
-
-    sig = F.array(*[F.array_min(F.transform(sh, _seeded(j))) for j in range(num_hashes)])
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    Shape: explode the shingles ONCE, then one groupBy computing all
+    ``num_hashes`` mins in a single aggregation (map-side partial). The
+    tempting pure-expression form (``array_min(transform(shingles, …))``
+    per seed) re-inlines the whole shingle construction per seed after
+    projection collapse — measured ~100× slower at 32 hashes.
+    """
+    sh = df.select(F.col(id_col), F.explode(F.array_distinct(_shingles(text_col, shingle_k))).alias("__sh"))
+    aggs = [F.min(F.xxhash64("__sh", F.lit(j))).alias(f"__h{j}") for j in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col), F.array(*[F.col(f"__h{j}") for j in range(num_hashes)]).alias("minhash")
+    )
 
 
 def minhash_lsh_pairs(
