@@ -495,6 +495,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh_topk_q
 
+    def ann_ivf_topk_q(spark, sf):
+        from retailer_scrapers_spark.operators.similarity import ann_ivf_topk
+
+        emb = _t(spark, sf, "embeddings")
+        return ann_ivf_topk(emb, _QUERY_VEC, k=20, n_cells=16, n_probe=6)
+
+    q["ann_ivf_topk"] = ann_ivf_topk_q
+
     def embedding_near_dup_blocked(spark, sf):
         # exact all-pairs cosine within label blocks (deterministic oracle);
         # the LSH variant (embedding_near_dup_lsh) is the scale path

@@ -105,6 +105,81 @@ def ann_lsh_topk(
     )
 
 
+def _assign_cell(vec_col: Column, centroids: np.ndarray) -> Column:
+    """argmin_c ||v − c||² as a column expression: min over an array of
+    (distance, cell) structs (struct ordering is lexicographic). With
+    ||v||² constant per row, argmin dist == argmax (dot − ½||c||²)."""
+    entries = []
+    for ci, c in enumerate(centroids):
+        score = _dot_lit(vec_col, list(c)) - 0.5 * float(np.dot(c, c))
+        entries.append(F.struct((-score).alias("d"), F.lit(ci).alias("c")))
+    return F.array_min(F.array(*entries)).getField("c")
+
+
+def ivf_assignments(
+    df: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: deterministic k-means-lite.
+
+    Init: the ``n_cells`` rows with smallest xxhash64(id) (a seeded,
+    order-independent sample). Each Lloyd iteration is one full-scan
+    assignment (pure column expressions against literal centroids) plus
+    a per-(cell, dim) mean via posexplode — centroids collect to the
+    driver (n_cells × dim floats, tiny). At 100 TB the assignment column
+    becomes the table's partition key so queries prune cells at the
+    source.
+    """
+    init = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).asc())
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = np.array([[float(x) for x in r[1]] for r in init])
+    for _ in range(n_iters):
+        assigned = df.select(F.col(id_col), F.col(vec_col), _assign_cell(F.col(vec_col), centroids).alias("cell"))
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)))
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        for r in means:
+            centroids[r.cell][r.pos] = r.m
+    assigned = df.select(F.col(id_col), F.col(vec_col), _assign_cell(F.col(vec_col), centroids).alias("cell"))
+    return assigned, centroids
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose cell is among the
+    ``n_probe`` cells nearest the query (the scale path alongside
+    :func:`ann_lsh_topk`; same pruning story, data-adaptive cells)."""
+    assigned, centroids = ivf_assignments(df, n_cells, 2, vec_col, id_col, seed)
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((centroids - q) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d2)[:n_probe]]
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), F.round(cosine_vs_query(F.col(vec_col), query), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

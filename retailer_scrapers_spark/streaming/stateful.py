@@ -1,0 +1,62 @@
+"""Custom stateful streaming operator (task brief:
+``applyInPandasWithState`` for custom stateful ops).
+
+``stateful_politeness`` is the streaming form of R1: a per-host rate
+limiter whose state (the host's last scheduled fetch time, in logical
+ms) survives across micro-batches, so a host that received URLs in
+batch 1 keeps its crawl-delay spacing when more URLs arrive in batch 7.
+The batch scheduler (operators/politeness.py) restarts its clock each
+epoch; this one never does — the exact semantics a long-running
+continuous crawler needs.
+
+State: one row ``(last_scheduled_ms,)`` per host key, kept by Spark's
+state store (partitioned by host across executors, checkpointable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+OUT_SCHEMA = "host string, url_canon string, priority double, seq long, scheduled_offset_ms long, wait_ms long"
+_STATE_SCHEMA = StructType([StructField("last_ms", LongType())])
+
+
+def stateful_politeness(stream: DataFrame, delay_ms: int = 5000) -> DataFrame:
+    """Schedule a stream of (host, url_canon, priority, seq) fetches with a
+    per-host delay that persists across micro-batches."""
+
+    def schedule(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        (host,) = key
+        last = state.get[0] if state.exists else -delay_ms
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["priority", "seq"], ascending=[False, True], kind="mergesort")
+            offsets, waits = [], []
+            for _ in range(len(pdf)):
+                sched = last + delay_ms
+                waits.append(sched - last)
+                offsets.append(sched)
+                last = sched
+            out.append(
+                pd.DataFrame(
+                    {
+                        "host": host,
+                        "url_canon": pdf["url_canon"].values,
+                        "priority": pdf["priority"].values,
+                        "seq": pdf["seq"].values,
+                        "scheduled_offset_ms": offsets,
+                        "wait_ms": waits,
+                    }
+                )
+            )
+        state.update((int(last),))
+        yield from out
+
+    return stream.groupBy("host").applyInPandasWithState(
+        schedule, OUT_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )

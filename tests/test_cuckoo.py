@@ -1,0 +1,48 @@
+"""Cuckoo filter: membership, deletion (the Bloom can't do this), fpp,
+serialization — the retry-requeue 'un-see a URL' path (R4 + D6)."""
+
+import numpy as np
+import pytest
+
+from retailer_scrapers_spark.operators.cuckoo import CuckooFilter
+
+
+def _hashes(n, seed=0):
+    return np.random.default_rng(seed).integers(-(2**62), 2**62, n, dtype=np.int64)
+
+
+def test_membership_no_false_negatives():
+    cf = CuckooFilter.for_capacity(10_000)
+    h = _hashes(10_000)
+    cf.add_hashes(h)
+    assert cf.contains_hashes(h).all()
+    fresh = _hashes(50_000, seed=9)
+    fpp = cf.contains_hashes(fresh).mean()
+    assert fpp < 0.01, fpp  # ~2*4/2^16 ≈ 1.2e-4 expected; generous bound
+
+
+def test_delete_restores_unseen():
+    cf = CuckooFilter.for_capacity(1000)
+    h = _hashes(1000)
+    cf.add_hashes(h)
+    victim = h[:100]
+    assert cf.delete_hashes(victim).all()
+    assert not cf.contains_hashes(victim).any() or cf.contains_hashes(victim).mean() < 0.02
+    assert cf.contains_hashes(h[100:]).all()  # others untouched
+    assert cf.n_items == 900
+
+
+def test_serialize_roundtrip():
+    cf = CuckooFilter.for_capacity(500)
+    h = _hashes(500)
+    cf.add_hashes(h)
+    rt = CuckooFilter.deserialize(cf.serialize())
+    assert np.array_equal(rt.table, cf.table)
+    assert rt.contains_hashes(h).all()
+    assert (rt.n_buckets, rt.bucket_size, rt.n_items) == (cf.n_buckets, cf.bucket_size, cf.n_items)
+
+
+def test_over_capacity_raises():
+    cf = CuckooFilter(16, 2)  # 32 slots
+    with pytest.raises(RuntimeError):
+        cf.add_hashes(_hashes(100))

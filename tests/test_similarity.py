@@ -36,6 +36,22 @@ def test_ann_lsh_recall(spark):
     assert len(exact & approx) >= 2  # reasonable recall at this hamming radius
 
 
+def test_ann_ivf_recall_and_partition(spark):
+    from retailer_scrapers_spark.operators.similarity import ann_ivf_topk, ivf_assignments
+
+    vecs = _vecs(300)
+    df = _df(spark, vecs)
+    assigned, centroids = ivf_assignments(df, n_cells=8, n_iters=2)
+    cells = assigned.groupBy("cell").count().collect()
+    assert 1 < len(cells) <= 8  # data actually partitions into cells
+    assert centroids.shape == (8, 16)
+    q = list(vecs[11].astype(np.float64))
+    exact = {r.vec_id for r in S.cosine_topk(df, q, k=5).collect()}
+    approx = {r.vec_id for r in ann_ivf_topk(df, q, k=5, n_cells=8, n_probe=3).collect()}
+    assert 11 in approx  # the query's own vector is in the nearest cell
+    assert len(exact & approx) >= 2
+
+
 def test_embedding_near_dup_pairs(spark):
     vecs = _vecs(50)
     vecs[1] = vecs[0] + 0.001 * np.random.default_rng(1).standard_normal(16).astype(np.float32)
