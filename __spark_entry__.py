@@ -575,6 +575,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["politeness_schedule_rows"] = politeness_schedule_rows
 
+    def r4_retry_requeue(spark, sf):
+        # R4 — retry/backoff split as dataflow (scrape_shoprite.py:387-394)
+        from retailer_scrapers_spark.operators.frontier import requeue_failures
+
+        orders = _t(spark, sf, "orders")
+        fetched = orders.select(
+            F.concat(F.lit("https://s.test/o/"), F.col("o_orderkey").cast("string")).alias("url_canon"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(503)).otherwise(F.lit(200)).alias("status"),
+            (F.col("o_orderkey") % 3).cast("int").alias("attempt"),
+            F.lit(1.0).alias("priority"),
+        )
+        ok, retry, dropped = requeue_failures(fetched)
+        return (
+            ok.select("url_canon", F.lit("ok").alias("outcome"), F.col("attempt"), F.round("priority", 2).alias("priority"))
+            .unionByName(retry.select("url_canon", F.lit("retry").alias("outcome"), "attempt", F.round("priority", 2).alias("priority")))
+            .unionByName(dropped.select("url_canon", F.lit("dropped").alias("outcome"), "attempt", F.round("priority", 2).alias("priority")))
+        )
+
+    q["r4_retry_requeue"] = r4_retry_requeue
+
     def o4_bucket_listing(spark, sf):
         # O4 — object list sorted by name desc, limit (scrape_shoprite.py:107-110)
         part = _t(spark, sf, "part")
@@ -889,6 +909,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
         FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
         WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.12
+    """
+
+    o["r4_retry_requeue"] = """
+        WITH fetched AS (
+          SELECT 'https://s.test/o/' || o_orderkey AS url_canon,
+                 CASE WHEN o_orderkey % 7 = 0 THEN 503 ELSE 200 END AS status,
+                 CAST(o_orderkey % 3 AS INTEGER) AS attempt,
+                 1.0 AS priority
+          FROM orders
+        )
+        SELECT url_canon, 'ok' AS outcome, attempt, ROUND(priority, 2) AS priority
+        FROM fetched WHERE status < 500
+        UNION ALL
+        SELECT url_canon, 'retry' AS outcome, attempt + 1 AS attempt,
+               ROUND(priority - POW(2, attempt + 1), 2) AS priority
+        FROM fetched WHERE status >= 500 AND attempt + 1 < 3
+        UNION ALL
+        SELECT url_canon, 'dropped' AS outcome, attempt, ROUND(priority, 2) AS priority
+        FROM fetched WHERE status >= 500 AND attempt + 1 >= 3
     """
 
     o["o4_bucket_listing"] = """
