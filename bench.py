@@ -55,6 +55,9 @@ HEADLINE = [
     "lang_id",
     "quality_scores",
     "token_counts",
+    "ann_ivf_topk",
+    "image_phash_pipeline",
+    "politeness_schedule_rows",
 ]
 
 
@@ -117,16 +120,71 @@ def frontier_throughput(spark, n_urls: int) -> dict:
     n_out = survivors.count()
     t_dedup = time.time() - t2
 
+    # timed stage 4: skew salting (R7) + per-(host,salt) politeness
+    # schedule (R1) over the epoch's selected fetch set
+    from retailer_scrapers_spark.operators.frontier import salt_hot_hosts
+    from retailer_scrapers_spark.operators.politeness import politeness_schedule
+
+    t3 = time.time()
+    per_host = max(n_urls // n_hosts, 8)
+    selected = topk_per_host(unseen, per_host_budget=per_host)
+    salted = salt_hot_hosts(selected, target_rows_per_task=1024)
+    sched = politeness_schedule(salted, epoch_budget_s=1e12, default_delay_s=5.0)
+    n_sched = sched.count()
+    t_sched = time.time() - t3
+
     assert n_out == n_urls - n_urls // 2, f"dedup wrong: {n_out}"
-    total = t_canon + t_build + t_dedup
+    total = t_canon + t_build + t_dedup + t_sched
     return {
         "n_urls": n_urls,
         "n_hosts": n_hosts,
         "canonicalize_sec": round(t_canon, 3),
         "bloom_build_sec": round(t_build, 3),
         "dedup_topk_sec": round(t_dedup, 3),
+        "schedule_sec": round(t_sched, 3),
+        "n_scheduled": n_sched,
         "total_sec": round(total, 3),
         "urls_per_sec": round(n_urls / total, 1),
+    }
+
+
+def skew_demo(spark, n_urls: int) -> dict:
+    """R7 evidence: one host holds 50% of the frontier. Compare the
+    grouped-map politeness schedule WITH salting (hot host split across
+    ~n_urls/2/target salt groups → parallel tasks) vs WITHOUT (one task
+    owns half the data)."""
+    from pyspark.sql import functions as F
+
+    from retailer_scrapers_spark.operators.frontier import salt_hot_hosts
+    from retailer_scrapers_spark.operators.politeness import politeness_schedule
+
+    host = F.when(F.col("id") % 2 == 0, F.lit("hot.test")).otherwise(
+        F.concat(F.lit("h"), (F.col("id") % 997).cast("string"), F.lit(".test"))
+    )
+    frontier = spark.range(n_urls).select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("id").cast("string")).alias("url_canon"),
+        host.alias("host"),
+        F.lit(1.0).alias("priority"),
+        F.col("id").alias("seq"),
+    ).persist()
+    frontier.count()
+
+    t0 = time.time()
+    unsalted = frontier.withColumn("salt", F.lit(0)).withColumn("n_salt", F.lit(1))
+    politeness_schedule(unsalted, epoch_budget_s=1e12, default_delay_s=5.0).count()
+    t_unsalted = time.time() - t0
+
+    t1 = time.time()
+    salted = salt_hot_hosts(frontier, target_rows_per_task=max(n_urls // 256, 1024))
+    politeness_schedule(salted, epoch_budget_s=1e12, default_delay_s=5.0).count()
+    t_salted = time.time() - t1
+    frontier.unpersist()
+    return {
+        "n_urls": n_urls,
+        "hot_host_share": 0.5,
+        "schedule_unsalted_sec": round(t_unsalted, 3),
+        "schedule_salted_sec": round(t_salted, 3),
+        "speedup": round(t_unsalted / t_salted, 2),
     }
 
 
@@ -166,6 +224,7 @@ def main() -> None:
     spark = get_spark("bench", cores=CPUS)
     queries = run_queries(spark, SF_DIR)
     fr = frontier_throughput(spark, BENCH_N)
+    skew = skew_demo(spark, min(BENCH_N, 1_000_000))
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     result = {
         "metric": "urls_fetched_deduped_per_sec",
@@ -174,6 +233,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "frontier": fr,
+        "skew_salting": skew,
         "cores": CPUS,
     }
     print(json.dumps(result))
