@@ -241,25 +241,41 @@ def build_bloom(
     return out
 
 
-_probe_filter_cache: dict[int, tuple[bytes, BloomFilter]] = {}
+_probe_filter_cache: dict[int, tuple] = {}
 
 
-def _cached_probe_filter(data: bytes) -> BloomFilter:
+def _deserialize_any(data: bytes):
+    """Dispatch on the serialization tag: cuckoo blobs are prefixed with
+    CKF1 (operators/cuckoo.py); everything else is a Bloom filter."""
+    if data[:4] == b"SCK1":
+        from retailer_scrapers_spark.operators.cuckoo import SlicedCuckoo
+
+        return SlicedCuckoo.deserialize(data)
+    if data[:4] == b"CKF1":
+        from retailer_scrapers_spark.operators.cuckoo import CuckooFilter
+
+        return CuckooFilter.deserialize(data)
+    return BloomFilter.deserialize_readonly(data)
+
+
+def _cached_probe_filter(data: bytes):
     """Per-worker memo: the broadcast value is the same bytes object across
     batches, so the zero-copy view is built once per executor. The cache
     pins ``data`` so the id key can never dangle."""
     hit = _probe_filter_cache.get(id(data))
     if hit is None or hit[0] is not data:
-        bf = BloomFilter.deserialize_readonly(data)
+        bf = _deserialize_any(data)
         _probe_filter_cache.clear()  # hold at most one filter per worker
         _probe_filter_cache[id(data)] = (data, bf)
         return bf
     return hit[1]
 
 
-def probe_bloom(df: DataFrame, bloom: BloomFilter, url_col: str = "url_canon", out_col: str = "__maybe_seen") -> DataFrame:
+def probe_bloom(df: DataFrame, bloom, url_col: str = "url_canon", out_col: str = "__maybe_seen") -> DataFrame:
     """Add a boolean ``out_col``: True when the URL is *possibly* in the
-    filter (no false negatives). Bits ship to executors via broadcast."""
+    filter (no false negatives). Bits ship to executors via broadcast.
+    Accepts either filter class (Bloom or Cuckoo — shared contract:
+    ``contains_hashes(h1, h2)`` / ``serialize``)."""
     sc = df.sparkSession.sparkContext
     b = sc.broadcast(bloom.serialize())
 
@@ -277,7 +293,7 @@ def probe_bloom(df: DataFrame, bloom: BloomFilter, url_col: str = "url_canon", o
 
 def filter_unseen(
     frontier: DataFrame,
-    bloom: BloomFilter | None,
+    bloom,
     seen: DataFrame | None,
     url_col: str = "url_canon",
 ) -> DataFrame:

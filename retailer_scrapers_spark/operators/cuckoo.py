@@ -25,6 +25,7 @@ import struct
 import numpy as np
 
 _HEADER = struct.Struct("<QIIQ")  # n_buckets, bucket_size, _pad, n_items
+MAGIC = b"CKF1"  # serialization tag so the shared probe path can dispatch
 
 
 class CuckooFilter:
@@ -91,7 +92,9 @@ class CuckooFilter:
         for i1, fp in zip(i1s.tolist(), fps.tolist()):
             self._insert_one(int(i1), int(fp))
 
-    def contains_hashes(self, h1: np.ndarray) -> np.ndarray:
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> np.ndarray:
+        """Same signature as BloomFilter.contains_hashes (h2 unused: the
+        cuckoo derives both candidate buckets from h1 + fingerprint)."""
         h1 = np.asarray(h1, dtype=np.int64)
         if len(h1) == 0:
             return np.zeros(0, dtype=bool)
@@ -122,10 +125,12 @@ class CuckooFilter:
 
     # -- serialization -------------------------------------------------------------
     def serialize(self) -> bytes:
-        return _HEADER.pack(self.n_buckets, self.bucket_size, 0, self.n_items) + self.table.tobytes()
+        return MAGIC + _HEADER.pack(self.n_buckets, self.bucket_size, 0, self.n_items) + self.table.tobytes()
 
     @classmethod
     def deserialize(cls, data: bytes) -> "CuckooFilter":
+        assert data[:4] == MAGIC, "not a cuckoo filter blob"
+        data = data[4:]
         n_buckets, bucket_size, _, n_items = _HEADER.unpack(data[: _HEADER.size])
         table = (
             np.frombuffer(data[_HEADER.size :], dtype=np.uint16, count=n_buckets * bucket_size)
@@ -133,3 +138,116 @@ class CuckooFilter:
             .copy()
         )
         return cls(n_buckets, bucket_size, table, n_items)
+
+
+# ---------------------------------------------------------------------------
+# Distributed build (key-space-sliced, mirroring operators/bloom.build_bloom)
+# ---------------------------------------------------------------------------
+
+SLICED_MAGIC = b"SCK1"
+
+
+class SlicedCuckoo:
+    """n_slices independent cuckoo tables; a key belongs to the slice in
+    its low h1 bits and is stored/looked-up with the shifted-out hash.
+    Same probe/serialize contract as BloomFilter, so ``probe_bloom`` /
+    ``filter_unseen`` accept it transparently."""
+
+    def __init__(self, slices: list[CuckooFilter]):
+        assert len(slices) & (len(slices) - 1) == 0
+        self.slices = slices
+        self.n_slices = len(slices)
+        self._shift = np.uint64(self.n_slices.bit_length() - 1)
+
+    @property
+    def n_items(self) -> int:
+        return sum(s.n_items for s in self.slices)
+
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> np.ndarray:
+        h1 = np.asarray(h1, dtype=np.int64)
+        if len(h1) == 0:
+            return np.zeros(0, dtype=bool)
+        u1 = h1.astype(np.uint64)
+        s = (u1 & np.uint64(self.n_slices - 1)).astype(np.int64)
+        inner = (u1 >> self._shift).view(np.int64)
+        out = np.zeros(len(h1), dtype=bool)
+        for sid in np.unique(s):
+            m = s == sid
+            out[m] = self.slices[sid].contains_hashes(inner[m])
+        return out
+
+    def delete_hashes(self, h1: np.ndarray) -> np.ndarray:
+        h1 = np.asarray(h1, dtype=np.int64)
+        u1 = h1.astype(np.uint64)
+        s = (u1 & np.uint64(self.n_slices - 1)).astype(np.int64)
+        inner = (u1 >> self._shift).view(np.int64)
+        out = np.zeros(len(h1), dtype=bool)
+        for sid in np.unique(s):
+            m = s == sid
+            out[m] = self.slices[sid].delete_hashes(inner[m])
+        return out
+
+    def serialize(self) -> bytes:
+        blobs = [s.serialize() for s in self.slices]
+        head = SLICED_MAGIC + struct.pack("<I", len(blobs))
+        return head + b"".join(struct.pack("<Q", len(b)) + b for b in blobs)
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "SlicedCuckoo":
+        assert data[:4] == SLICED_MAGIC
+        (n,) = struct.unpack("<I", data[4:8])
+        pos, slices = 8, []
+        for _ in range(n):
+            (ln,) = struct.unpack("<Q", data[pos : pos + 8])
+            pos += 8
+            slices.append(CuckooFilter.deserialize(data[pos : pos + ln]))
+            pos += ln
+        return cls(slices)
+
+
+def build_cuckoo(df, url_col: str = "url_canon", capacity: int = 1 << 16, n_slices: int | None = None) -> SlicedCuckoo:
+    """Distributed cuckoo build: shuffle keys by slice (low h1 bits), each
+    task builds the cuckoo tables for the slices it holds (inner hash =
+    h1 >> log2(n_slices)), the driver assembles the slice list. O(total
+    capacity) work and state, like the sliced Bloom build."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from retailer_scrapers_spark.operators.bloom import _next_pow2, with_url_hashes
+
+    spark = df.sparkSession
+    if n_slices is None:
+        n_slices = _next_pow2(spark.sparkContext.defaultParallelism)
+    shift = n_slices.bit_length() - 1
+    slice_cap = max(capacity // n_slices, 64)
+
+    hashed = (
+        with_url_hashes(df, url_col)
+        .select("__h1", F.col("__h1").bitwiseAND(F.lit(n_slices - 1)).alias("__slice"))
+        .repartition(min(n_slices, spark.sparkContext.defaultParallelism), "__slice")
+    )
+
+    def build_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        h1s = [b.column("__h1").to_numpy(zero_copy_only=False) for b in batches]
+        if not h1s:
+            return
+        u1 = np.concatenate(h1s).astype(np.uint64)
+        s = (u1 & np.uint64(n_slices - 1)).astype(np.int64)
+        inner = (u1 >> np.uint64(shift)).view(np.int64)
+        ids, blobs = [], []
+        for sid in np.unique(s):
+            cf = CuckooFilter.for_capacity(max(slice_cap, int((s == sid).sum())))
+            cf.add_hashes(inner[s == sid])
+            ids.append(int(sid))
+            blobs.append(cf.serialize())
+        yield pa.RecordBatch.from_pydict(
+            {"slice_id": pa.array(ids, type=pa.int32()), "blob": pa.array(blobs, type=pa.binary())}
+        )
+
+    rows = hashed.mapInArrow(build_partition, "slice_id int, blob binary").collect()
+    by_id = {r.slice_id: CuckooFilter.deserialize(bytes(r.blob)) for r in rows}
+    empty_cap = CuckooFilter.for_capacity(slice_cap)
+    slices = [by_id.get(i, CuckooFilter(empty_cap.n_buckets, empty_cap.bucket_size)) for i in range(n_slices)]
+    return SlicedCuckoo(slices)

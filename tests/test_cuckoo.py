@@ -46,3 +46,23 @@ def test_over_capacity_raises():
     cf = CuckooFilter(16, 2)  # 32 slots
     with pytest.raises(RuntimeError):
         cf.add_hashes(_hashes(100))
+
+
+def test_distributed_sliced_build_and_probe(spark):
+    """build_cuckoo (sliced, mapInArrow) feeds the SAME probe/filter_unseen
+    path as the Bloom filter — exact unseen-set either way."""
+    from pyspark.sql import functions as F
+
+    from retailer_scrapers_spark.operators.bloom import filter_unseen, probe_bloom
+    from retailer_scrapers_spark.operators.cuckoo import build_cuckoo
+
+    seen_urls = [(f"https://s.test/{i}",) for i in range(2000)]
+    seen = spark.createDataFrame(seen_urls, "url_canon string")
+    cf = build_cuckoo(seen, capacity=1 << 13, n_slices=8)
+    assert cf.n_items == 2000
+    assert probe_bloom(seen, cf).filter(~F.col("__maybe_seen")).count() == 0  # no FN
+    frontier = spark.createDataFrame(
+        seen_urls[:300] + [(f"https://f.test/{i}",) for i in range(700)], "url_canon string"
+    )
+    out = sorted(r.url_canon for r in filter_unseen(frontier, cf, seen).collect())
+    assert out == sorted(f"https://f.test/{i}" for i in range(700))
