@@ -70,3 +70,11 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert df.columns
+
+
+def test_bench_headline_keys_exist():
+    """bench.py's HEADLINE list must stay in sync with queries()."""
+    import bench
+
+    missing = [k for k in bench.HEADLINE if k not in ALL_QUERIES]
+    assert not missing, missing
