@@ -373,6 +373,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["supplier_nation_rollup"] = supplier_nation_rollup
 
+    def rollup_orders(spark, sf):
+        orders = _t(spark, sf, "orders")
+        return (
+            orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        )
+
+    q["rollup_orders"] = rollup_orders
+
+    def pivot_status_counts(spark, sf):
+        orders = _t(spark, sf, "orders")
+        return (
+            orders.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["O", "F", "P"])
+            .agg(F.count(F.lit(1)))
+            .na.fill(0)
+            .select("o_orderpriority", F.col("O").alias("n_open"), F.col("F").alias("n_filled"), F.col("P").alias("n_pending"))
+        )
+
+    q["pivot_status_counts"] = pivot_status_counts
+
+    def running_revenue(spark, sf):
+        orders = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
+        return orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+
+    q["running_revenue"] = running_revenue
+
     # ---- events: windows + sessionization ------------------------------------
 
     def events_tumbling_window(spark, sf):
@@ -857,6 +889,26 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """
+
+    o["rollup_orders"] = """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """
+
+    o["pivot_status_counts"] = """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+        FROM orders GROUP BY o_orderpriority
+    """
+
+    o["running_revenue"] = """
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        FROM orders
     """
 
     o["events_tumbling_window"] = """
