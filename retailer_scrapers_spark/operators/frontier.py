@@ -94,20 +94,53 @@ def assign_global_indexes(
     """O2 — deterministic contiguous id assignment per retailer.
 
     The reference threads a racy ``current_index`` through futures
-    (§2.9); here each retailer gets ``base_offset + row_number() − 1``
-    over a TOTAL order (page, pos) — reproducible under any
-    parallelism. Base offsets: checkers 0, pnp 7500, shoprite 17500,
-    woolworths 29000 (scrape_checkers.py:596, scrape_pnp.py:367,
+    (§2.9); here each retailer gets ``base_offset + rank − 1`` over a
+    TOTAL order on ``order_cols`` — reproducible under any parallelism.
+    Base offsets: checkers 0, pnp 7500, shoprite 17500, woolworths
+    29000 (scrape_checkers.py:596, scrape_pnp.py:367,
     scrape_shoprite.py:591, scrape_woolworths.py:396).
+
+    Scale shape: a naive ``row_number() over (partition by retailer
+    order by …)`` funnels each retailer through ONE task — a
+    single-partition sort at 100 TB. This implementation is two-level
+    (the classic distributed prefix-sum):
+
+      1. rank within the finest group (all order_cols) — parallel
+         windows over many small partitions;
+      2. group sizes → cumulative offsets of each group within its
+         retailer — a tiny aggregate, windowed over groups not rows;
+      3. index = base + group_offset + in-group rank − 1.
+
+    Identical output to the naive form (a property test pins this).
     """
     spark = df.sparkSession
     offsets = spark.createDataFrame(
         [(k, v) for k, v in base_offsets.items()], f"{retailer_col} string, __base long"
     )
-    w = Window.partitionBy(retailer_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    head, tail = list(order_cols[:-1]), order_cols[-1]
+    if not head:  # single order column → no grouping level to split on
+        w = Window.partitionBy(retailer_col).orderBy(F.col(tail).asc())
+        return (
+            df.join(F.broadcast(offsets), retailer_col, "left")
+            .na.fill({"__base": 0})
+            .withColumn(out_col, F.col("__base") + F.row_number().over(w) - 1)
+            .drop("__base")
+        )
+    group_keys = [retailer_col, *head]
+    # 1. in-group rank (parallel: partitioned by the fine group key)
+    w_in = Window.partitionBy(*group_keys).orderBy(F.col(tail).asc())
+    ranked = df.withColumn("__in_rank", F.row_number().over(w_in))
+    # 2. per-group sizes → running offset within the retailer (rows = groups)
+    sizes = ranked.groupBy(*group_keys).agg(F.count(F.lit(1)).alias("__n"))
+    w_grp = Window.partitionBy(retailer_col).orderBy(*[F.col(c).asc() for c in head])
+    grp_off = sizes.withColumn(
+        "__grp_off", F.coalesce(F.sum("__n").over(w_grp.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    ).drop("__n")
+    # 3. assemble
     return (
-        df.join(F.broadcast(offsets), retailer_col, "left")
-        .na.fill({"__base": 0})
-        .withColumn(out_col, F.col("__base") + F.row_number().over(w) - 1)
-        .drop("__base")
+        ranked.join(grp_off, group_keys, "left")
+        .join(F.broadcast(offsets), retailer_col, "left")
+        .na.fill({"__base": 0, "__grp_off": 0})
+        .withColumn(out_col, F.col("__base") + F.col("__grp_off") + F.col("__in_rank") - 1)
+        .drop("__base", "__grp_off", "__in_rank")
     )

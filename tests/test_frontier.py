@@ -56,3 +56,20 @@ def test_assign_indexes_deterministic_under_partitioning(spark):
     a = {(r.page, r.pos): r["index"] for r in FR.assign_global_indexes(df1, {"R": 100}).collect()}
     b = {(r.page, r.pos): r["index"] for r in FR.assign_global_indexes(df2, {"R": 100}).collect()}
     assert a == b  # §2.9: total-order windows → same ids under any layout
+
+
+def test_assign_indexes_two_level_equals_naive(spark):
+    """The scalable two-level prefix-sum must produce byte-identical ids
+    to the naive single-window form."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.choice(["A", "B"]), rng.randint(0, 9), i) for i in range(500)]
+    df = spark.createDataFrame(rows, "retailer string, page int, pos int").repartition(8)
+    got = {(r.retailer, r.page, r.pos): r["index"]
+           for r in FR.assign_global_indexes(df, {"A": 100, "B": 9000}, order_cols=("page", "pos")).collect()}
+    # naive oracle computed in Python
+    for retailer, base in (("A", 100), ("B", 9000)):
+        ordered = sorted([r for r in rows if r[0] == retailer], key=lambda r: (r[1], r[2]))
+        for rank, r in enumerate(ordered):
+            assert got[r] == base + rank, r
