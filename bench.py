@@ -178,13 +178,21 @@ def skew_demo(spark, n_urls: int) -> dict:
     salted = salt_hot_hosts(frontier, target_rows_per_task=max(n_urls // 256, 1024))
     politeness_schedule(salted, epoch_budget_s=1e12, default_delay_s=5.0).count()
     t_salted = time.time() - t1
+
+    # the load-bearing number at 10^10 scale is PER-TASK GROUP SIZE (one
+    # grouped-map task must hold its group in pandas memory): salting
+    # caps it at target_rows_per_task, unsalted the hot host owns half
+    # the frontier in a single task
+    max_salted = salted.groupBy("host", "salt").count().agg(F.max("count")).collect()[0][0]
     frontier.unpersist()
     return {
         "n_urls": n_urls,
         "hot_host_share": 0.5,
         "schedule_unsalted_sec": round(t_unsalted, 3),
         "schedule_salted_sec": round(t_salted, 3),
-        "speedup": round(t_unsalted / t_salted, 2),
+        "max_rows_per_task_unsalted": n_urls // 2,
+        "max_rows_per_task_salted": int(max_salted),
+        "task_memory_reduction": round(n_urls / 2 / max_salted, 1),
     }
 
 
