@@ -74,6 +74,7 @@ class CrawlConfig:
     bloom_bits: int = 1 << 18
     bloom_hashes: int = 7
     bloom_slices: int = 8  # power of two; per-slice state rows in checkpoint
+    filter_kind: str = "bloom"  # "bloom" (OR-mergeable) | "cuckoo" (deletable)
     target_rows_per_task: int = 10_000
     default_delay_s: float = 10.0
     base_offsets: dict[str, int] = field(default_factory=lambda: dict(BASE_OFFSETS))
@@ -220,18 +221,29 @@ class CrawlPlan:
         )
         self.catalog.write(metrics, "metrics", epoch)
 
-        # membership-filter state: rebuild from the (small) delta, merge,
-        # checkpoint per-slice (north_rule: partitioned serialized state)
-        from retailer_scrapers_spark.operators.bloom import filter_state_rows
+        # membership-filter state (north_rule "Bloom/cuckoo"): bloom kind
+        # builds a delta filter and OR-merges (cheap, O(delta)); cuckoo
+        # kind rebuilds distributed from the full seen set (tables don't
+        # OR-merge) — the price of deletability.
+        if cfg.filter_kind == "cuckoo":
+            from retailer_scrapers_spark.operators.cuckoo import build_cuckoo
 
-        delta_bloom = build_bloom(
-            newly_seen, "url_canon", cfg.bloom_bits, cfg.bloom_hashes, n_slices=cfg.bloom_slices
-        )
-        bloom_next = delta_bloom if bloom is None else bloom.merge(delta_bloom)
-        bloom_df = self.spark.createDataFrame(
-            filter_state_rows(bloom_next),
-            "partition_id int, filter_bytes binary, n_items long, m_bits long, k_hashes int, n_slices int",
-        )
+            bloom_next = build_cuckoo(seen_next.toDF("url_canon"), capacity=cfg.bloom_bits, n_slices=cfg.bloom_slices)
+            bloom_df = self.spark.createDataFrame(
+                [(0, bytearray(bloom_next.serialize()), bloom_next.n_items, 0, 0, cfg.bloom_slices)],
+                "partition_id int, filter_bytes binary, n_items long, m_bits long, k_hashes int, n_slices int",
+            )
+        else:
+            from retailer_scrapers_spark.operators.bloom import filter_state_rows
+
+            delta_bloom = build_bloom(
+                newly_seen, "url_canon", cfg.bloom_bits, cfg.bloom_hashes, n_slices=cfg.bloom_slices
+            )
+            bloom_next = delta_bloom if bloom is None else bloom.merge(delta_bloom)
+            bloom_df = self.spark.createDataFrame(
+                filter_state_rows(bloom_next),
+                "partition_id int, filter_bytes binary, n_items long, m_bits long, k_hashes int, n_slices int",
+            )
         self.catalog.write(bloom_df, "seen_filter", epoch)
         self.catalog.write(seen_next.toDF("url_canon"), "seen", epoch)
         self.catalog.write(frontier_next, "frontier", epoch)
@@ -246,14 +258,19 @@ class CrawlPlan:
             frontier = self._init_frontier(seeds)
             seen, bloom = None, None
         else:  # resume from checkpoint (R8)
-            from retailer_scrapers_spark.operators.bloom import filter_from_state_rows
-
             frontier = self.catalog.read("frontier")
             seen = self.catalog.read("seen")
             state = self.catalog.read("seen_filter").collect()
-            bloom = filter_from_state_rows(
-                [(r.partition_id, r.filter_bytes, r.n_items, r.m_bits, r.k_hashes, r.n_slices) for r in state]
-            )
+            if self.cfg.filter_kind == "cuckoo":
+                from retailer_scrapers_spark.operators.cuckoo import SlicedCuckoo
+
+                bloom = SlicedCuckoo.deserialize(bytes(state[0].filter_bytes))
+            else:
+                from retailer_scrapers_spark.operators.bloom import filter_from_state_rows
+
+                bloom = filter_from_state_rows(
+                    [(r.partition_id, r.filter_bytes, r.n_items, r.m_bits, r.k_hashes, r.n_slices) for r in state]
+                )
         for epoch in range(start, epochs):
             if frontier.isEmpty():
                 break

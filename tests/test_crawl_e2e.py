@@ -128,3 +128,19 @@ def test_resume_matches_uninterrupted(spark, site_df, robots_df, seeds_df, corpu
     f1 = cat1.read("frontier")
     f2 = cat2.read("frontier")
     assert f1.isEmpty() and f2.isEmpty()
+
+
+def test_crawl_with_cuckoo_filter_matches_bloom_seen_set(
+    spark, site_df, robots_df, seeds_df, crawl_run, tmp_path_factory
+):
+    """filter_kind='cuckoo' must produce the same crawl (the membership
+    structure is an implementation detail of D6, not a semantics change)."""
+    work = str(tmp_path_factory.mktemp("crawl_ckf"))
+    cfg = CrawlConfig(workdir=work, epochs=10, per_host_budget=8, filter_kind="cuckoo", bloom_bits=1 << 14)
+    plan = CrawlPlan(spark, cfg, site_df, robots_df)
+    plan.run(seeds_df)
+    bloom_plan, _ = crawl_run
+    seen_cuckoo = {r.url_canon for r in plan.catalog.read("seen").collect()}
+    seen_bloom = {r.url_canon for r in bloom_plan.catalog.read("seen").collect()}
+    assert seen_cuckoo == seen_bloom
+    assert plan.catalog.read("frontier").isEmpty()
