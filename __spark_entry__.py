@@ -657,6 +657,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frame_sample_rows"] = frame_sample_rows
 
+    def image_near_dup_rows(spark, sf):
+        # image near-dup: banded phash hamming join over the synthetic
+        # corpus + deliberately lossy re-encodes (payload=image axis)
+        from retailer_scrapers_spark import schemas
+        from retailer_scrapers_spark.functions.images import decode_image, encode_image, phash64
+        from retailer_scrapers_spark.operators.similarity import phash_near_dup_pairs
+        from retailer_scrapers_spark.sources.synthetic_site import SiteSpec, build_corpus
+
+        pdf = build_corpus(SiteSpec()).head(100).copy()
+        twins = pdf.copy()
+        twins["image_id"] = "twin_" + twins["image_id"]
+        twins["phash"] = [
+            phash64(decode_image(encode_image(decode_image(bytes(b), f), "qjpg"), "qjpg"))
+            for b, f in zip(pdf["bytes"], pdf["fmt"])
+        ]
+        import pandas as pd_
+
+        both = pd_.concat([pdf, twins], ignore_index=True)
+        corpus = spark.createDataFrame(both, schemas.CORPUS)
+        return phash_near_dup_pairs(corpus.select("image_id", "phash"), max_hamming=6)
+
+    q["image_near_dup_rows"] = image_near_dup_rows
+
     def image_phash_pipeline(spark, sf):
         # multimodal plumbing: synthetic corpus → decode → stats + phash
         from retailer_scrapers_spark import schemas

@@ -55,6 +55,49 @@ def cosine_topk(
     )
 
 
+def phash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate IMAGES by perceptual hash: (a, b, hamming) pairs
+    with hamming(phash_a, phash_b) ≤ ``max_hamming``.
+
+    Candidate generation is a banded equi-join (pigeonhole: two 64-bit
+    hashes within hamming ≤ n_bands−1 of each other share at least one
+    identical 16-bit band; with n_bands=4 recall is exact for hamming ≤ 3
+    and high for ≤ 6) — the image-space analogue of MinHash banding, and
+    the same shuffle shape: join on (band_idx, band_value), never O(n²).
+    Verification is exact via ``bit_count(xor)`` (JVM-side).
+    """
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col(phash_col), i * band_bits).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = df.select(F.col(id_col), F.col(phash_col), F.explode(bands).alias("b")).select(
+        id_col, phash_col, F.col("b.band"), F.col("b.val")
+    )
+    left = banded.select(F.col(id_col).alias("a"), F.col(phash_col).alias("ph_a"), "band", "val")
+    right = banded.select(F.col(id_col).alias("b"), F.col(phash_col).alias("ph_b"), "band", "val")
+    return (
+        left.join(right, ["band", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -62,3 +62,30 @@ def test_embedding_near_dup_pairs(spark):
     assert (0, 10) in pairs
     for (a, b), c in pairs.items():
         assert a < b and c >= 0.98
+
+
+def test_phash_near_dup_pairs(spark):
+    """Image near-dup via banded phash hamming join: lossy re-encodes of
+    the same image pair up; distinct images don't."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from retailer_scrapers_spark.functions.images import decode_image, encode_image, phash64
+    from retailer_scrapers_spark.operators.similarity import phash_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(20):
+        img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+        rows.append((f"orig_{i}", phash64(img)))
+        lossy = decode_image(encode_image(img, "qjpg"), "qjpg")
+        rows.append((f"lossy_{i}", phash64(lossy)))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    pairs = {(r.a, r.b): r.hamming for r in phash_near_dup_pairs(df, max_hamming=6).collect()}
+    # every (orig, lossy) twin found
+    for i in range(20):
+        key = tuple(sorted((f"orig_{i}", f"lossy_{i}")))
+        assert key in pairs, key
+        assert pairs[key] <= 6
+    # unrelated random images rarely collide at hamming ≤ 6
+    cross = [k for k in pairs if k[0].split("_")[1] != k[1].split("_")[1]]
+    assert len(cross) <= 2
