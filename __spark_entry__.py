@@ -657,6 +657,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frame_sample_rows"] = frame_sample_rows
 
+    def pagerank_priorities(spark, sf):
+        # iterative crawl-priority scoring over a supplier→part link graph
+        from retailer_scrapers_spark.operators.pagerank import pagerank
+
+        li = _t(spark, sf, "lineitem").limit(5000)
+        edges = li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), (F.col("l_partkey") % 50).cast("string")).alias("dst"),
+        )
+        return pagerank(edges, iterations=8)
+
+    q["pagerank_priorities"] = pagerank_priorities
+
     def image_near_dup_rows(spark, sf):
         # image near-dup: banded phash hamming join over the synthetic
         # corpus + deliberately lossy re-encodes (payload=image axis)
@@ -1050,9 +1063,11 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # rows-only (engine-hash / LSH-recall / UDF-pipeline ops):
-    #   d6_seen_filter_anti (xxhash64 seen-selection not portable),
     #   minhash_lsh_near_dup, simhash_fingerprints, doc_fingerprint,
-    #   ann_lsh_topk, embedding_near_dup_lsh, image_phash_pipeline
+    #   ann_lsh_topk, ann_ivf_topk, embedding_near_dup_lsh,
+    #   image_phash_pipeline, image_near_dup_rows, frame_sample_rows,
+    #   parse_html_rows, parse_pnp_rows, politeness_schedule_rows,
+    #   pagerank_priorities (iterative; engine-hash/LSH/UDF-pipeline ops)
     return o
 
 

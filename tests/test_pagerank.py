@@ -1,0 +1,38 @@
+"""PageRank vs a numpy power-iteration oracle on the same graph."""
+
+import numpy as np
+
+from retailer_scrapers_spark.operators.pagerank import pagerank
+
+
+def _numpy_pagerank(edges, nodes, iters=10, d=0.85):
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[idx[t]] += r[idx[s]] / out[idx[s]]
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy(spark):
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),  # e is dangling (pointed at, no out)
+        ("c", "e"),
+    ]
+    nodes = sorted({x for e in edges for x in e})
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, iterations=12).collect()}
+    want = _numpy_pagerank(edges, nodes, iters=12)
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+    # hub 'c' outranks everything
+    assert got["c"] == max(got.values())
