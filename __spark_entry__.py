@@ -373,6 +373,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["supplier_nation_rollup"] = supplier_nation_rollup
 
+    def asof_join_events_orders(spark, sf):
+        # as-of join: each event picks the user's most recent order at or
+        # before the event time (backward semantics, union-merge impl)
+        from retailer_scrapers_spark.operators.asof import asof_join
+
+        ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+        orders = _t(spark, sf, "orders").select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ots"),
+            F.round("o_totalprice", 2).alias("last_order_total"),
+            F.col("o_orderkey"),
+        )
+        # pin ties: one order per (user, date) — keep max orderkey
+        w = Window.partitionBy("user_id", "ots").orderBy(F.col("o_orderkey").desc())
+        orders1 = orders.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn", "o_orderkey")
+        out = asof_join(ev, orders1, "user_id", "ts", "ots", ("last_order_total",))
+        return out.select(
+            "event_id", "user_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"), "last_order_total"
+        )
+
+    q["asof_join_events_orders"] = asof_join_events_orders
+
+    def percentiles_by_segment(spark, sf):
+        cust = _t(spark, sf, "customer")
+        return cust.groupBy("c_mktsegment").agg(
+            F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90"),
+        )
+
+    q["percentiles_by_segment"] = percentiles_by_segment
+
     def rollup_orders(spark, sf):
         orders = _t(spark, sf, "orders")
         return (
@@ -925,6 +956,27 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """
+
+    o["asof_join_events_orders"] = """
+        WITH o1 AS (
+          SELECT user_id, ots, last_order_total FROM (
+            SELECT o_custkey AS user_id, o_orderdate AS ots,
+                   ROUND(o_totalprice, 2) AS last_order_total,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+          ) WHERE rn = 1
+        )
+        SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               o1.last_order_total
+        FROM events e ASOF LEFT JOIN o1 ON e.user_id = o1.user_id AND e.ts >= o1.ots
+    """
+
+    o["percentiles_by_segment"] = """
+        SELECT c_mktsegment,
+               ROUND(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+               ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90
+        FROM customer GROUP BY c_mktsegment
     """
 
     o["rollup_orders"] = """
