@@ -296,8 +296,14 @@ def scaling_report() -> None:
         line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
         results[cores] = json.loads(line)
     tput = {c: results[c]["urls_per_sec"] for c in levels}
+    core = {
+        c: results[c]["n_urls"]
+        / (results[c]["canonicalize_sec"] + results[c]["bloom_build_sec"] + results[c]["dedup_topk_sec"])
+        for c in levels
+    }
     eff_2_8 = (tput["8"] / tput["2"]) / 4.0
     eff_8_32 = (tput["32"] / tput["8"]) / 4.0
+    core_eff_2_8 = (core["8"] / core["2"]) / 4.0
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
@@ -328,6 +334,7 @@ def scaling_report() -> None:
             {
                 "throughput": tput,
                 "efficiency_2_8": round(eff_2_8, 3),
+                "core_efficiency_2_8": round(core_eff_2_8, 3),
                 "efficiency_8_32": round(eff_8_32, 3),
                 "hw_ceiling_2_8": round(ceil_2_8, 3),
                 "hw_ceiling_8_32": round(ceil_8_32, 3),
