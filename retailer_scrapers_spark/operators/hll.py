@@ -1,0 +1,130 @@
+"""HyperLogLog sketch — mergeable distinct-URL counting (crawl metrics).
+
+A 10^10-URL crawl wants "distinct URLs discovered per host / per epoch"
+without materializing sets; Spark's ``approx_count_distinct`` answers
+one query, but the frontier needs a SKETCH it can checkpoint and merge
+across epochs exactly like the membership filters. This is the classic
+HLL (Flajolet et al. 2007, public algorithm): p-bit register index,
+rank of the remaining hash bits, register-wise max on merge.
+
+Same engine contract as the other sketches: JVM-side xxhash64 feeds a
+numpy ``mapInArrow`` build; merge is elementwise max (associative,
+idempotent → safe to re-merge on replay); serialize for checkpoints.
+Estimator: standard alpha·m²/Σ2^{-M} with linear counting for the
+small range and the 2^64 correction omitted (registers are 64-bit
+ranks, overflow unreachable).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HEADER = struct.Struct("<II")  # p, _pad
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        assert 4 <= p <= 18
+        self.p = p
+        self.m = 1 << p
+        self.registers = registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+
+    @property
+    def _alpha(self) -> float:
+        if self.m == 16:
+            return 0.673
+        if self.m == 32:
+            return 0.697
+        if self.m == 64:
+            return 0.709
+        return 0.7213 / (1 + 1.079 / self.m)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        """Vectorized register update from int64 hashes."""
+        u = np.asarray(h, dtype=np.int64).astype(np.uint64)
+        idx = (u >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (u << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)  # pad low bits
+        # rank = leading zeros of the remaining 64-p bits, + 1
+        ranks = np.zeros(len(u), dtype=np.uint8)
+        remaining = rest
+        probe = np.uint64(1) << np.uint64(63)
+        rank = 1
+        live = np.ones(len(u), dtype=bool)
+        while live.any() and rank <= 64 - self.p + 1:
+            is_zero = (remaining & probe) == 0
+            adv = live & ~is_zero
+            ranks[adv] = rank
+            live &= is_zero
+            remaining = remaining << np.uint64(1)
+            rank += 1
+        ranks[live] = 64 - self.p + 1
+        np.maximum.at(self.registers, idx, ranks)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        """Cardinality estimate. Known classic-HLL caveat: in the
+        2.5m–5m band the raw estimator runs ~2–5% high (the bias HLL++'s
+        empirical correction removes); outside it the error is the
+        standard 1.04/√m."""
+        inv = np.power(2.0, -self.registers.astype(np.float64)).sum()
+        e = self._alpha * self.m * self.m / inv
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * self.m and zeros:
+            return self.m * math.log(self.m / zeros)  # linear counting
+        return e
+
+    def serialize(self) -> bytes:
+        return _HEADER.pack(self.p, 0) + self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "HyperLogLog":
+        p, _ = _HEADER.unpack(data[: _HEADER.size])
+        regs = np.frombuffer(data[_HEADER.size :], dtype=np.uint8, count=1 << p).copy()
+        return cls(p, regs)
+
+
+def hll_by_key(df: DataFrame, key_col: str, value_col: str, p: int = 12) -> dict[str, HyperLogLog]:
+    """Per-key HLL sketches built distributed: shuffle by key, each task
+    sketches the keys it holds, driver merges per key (register max —
+    tiny payloads: m bytes per (task, key))."""
+    hashed = df.select(F.col(key_col).alias("__k"), F.xxhash64(F.col(value_col)).alias("__h")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "__k"
+    )
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import collections
+
+        per_key: dict = collections.defaultdict(lambda: HyperLogLog(p))
+        for batch in batches:
+            ks = batch.column("__k").to_pylist()
+            hs = batch.column("__h").to_numpy(zero_copy_only=False)
+            import itertools
+
+            pairs = sorted(zip(ks, hs), key=lambda t: t[0])  # contiguous per key
+            for k, grp in itertools.groupby(pairs, key=lambda t: t[0]):
+                per_key[k].add_hashes(np.array([g[1] for g in grp], dtype=np.int64))
+        if per_key:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "key": pa.array(list(per_key.keys()), type=pa.string()),
+                    "sketch": pa.array([v.serialize() for v in per_key.values()], type=pa.binary()),
+                }
+            )
+
+    rows = hashed.mapInArrow(build, "key string, sketch binary").collect()
+    out: dict[str, HyperLogLog] = {}
+    for r in rows:
+        sk = HyperLogLog.deserialize(bytes(r.sketch))
+        out[r.key] = sk if r.key not in out else out[r.key].merge(sk)
+    return out
