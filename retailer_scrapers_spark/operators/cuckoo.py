@@ -5,7 +5,9 @@ Why a crawl engine wants deletion: a URL scheduled for retry (R4) was
 optimistically marked seen but must become crawlable again if its fetch
 is abandoned; a Bloom filter cannot un-set bits, a cuckoo filter can
 delete its fingerprint (Fan et al., "Cuckoo Filter: Practically Better
-Than Bloom", CoNEXT 2014 — public algorithm).
+Than Bloom", CoNEXT 2014 — public algorithm; Vacuum Filters, VLDB 2019
+— see PAPERS.md — is the denser successor layout and a candidate swap
+behind this same interface).
 
 Layout: ``n_buckets`` buckets × ``bucket_size`` slots of 16-bit
 fingerprints (0 = empty). Insert tries bucket i1 = hash(x) and its
