@@ -1,0 +1,141 @@
+"""Merging t-digest — mergeable quantile sketch (crawl latency metrics).
+
+The fetch log wants per-host latency percentiles ACROSS epochs without
+keeping raw samples; like the HLL and the membership filters, that
+needs a sketch with checkpointable state and an associative-enough
+merge. This is the *merging* t-digest (Dunning & Ertl, public
+algorithm): clusters (mean, weight) kept sorted by mean, compressed so
+cluster k-size stays within the scale function
+``k(q) = (δ/2π)·asin(2q−1)`` — tight clusters at the tails, coarse in
+the middle, so tail quantiles stay accurate.
+
+Determinism: compression sorts by (mean, weight) first, so the digest
+is a pure function of the input multiset (not arrival order) — the
+property the golden-trace style of this engine relies on everywhere.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+_HEADER = struct.Struct("<dQ")  # delta (compression), n
+
+
+class TDigest:
+    def __init__(self, delta: float = 100.0, means: np.ndarray | None = None, weights: np.ndarray | None = None):
+        self.delta = float(delta)
+        self.means = means if means is not None else np.zeros(0)
+        self.weights = weights if weights is not None else np.zeros(0)
+
+    @property
+    def n(self) -> float:
+        return float(self.weights.sum())
+
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return self.delta / (2 * math.pi) * np.arcsin(np.clip(2 * q - 1, -1, 1))
+
+    def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        order = np.lexsort((weights, means))
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        out_m, out_w = [], []
+        cur_m, cur_w = means[0], weights[0]
+        w_before = 0.0
+        for m, w in zip(means[1:], weights[1:]):
+            q0 = w_before / total
+            q1 = (w_before + cur_w + w) / total
+            if self._k(np.array([q1])) - self._k(np.array([q0])) <= 1.0:
+                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)  # weighted merge
+                cur_w += w
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                w_before += cur_w
+                cur_m, cur_w = m, w
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.array(out_m)
+        self.weights = np.array(out_w)
+
+    def add(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        if len(values) == 0:
+            return
+        w = np.ones(len(values)) if weights is None else np.asarray(weights, dtype=np.float64)
+        self._compress(np.concatenate([self.means, values]), np.concatenate([self.weights, w]))
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if len(other.means):
+            self.add(other.means, other.weights)
+        return self
+
+    def quantile(self, q: float) -> float:
+        """Interpolated quantile estimate (midpoint-rank interpolation)."""
+        if not len(self.means):
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        total = self.n
+        # cumulative weight at cluster midpoints
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        target = q * total
+        if target <= cum[0]:
+            return float(self.means[0])
+        if target >= cum[-1]:
+            return float(self.means[-1])
+        i = np.searchsorted(cum, target) - 1
+        frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+        return float(self.means[i] + frac * (self.means[i + 1] - self.means[i]))
+
+    def serialize(self) -> bytes:
+        return (
+            _HEADER.pack(self.delta, len(self.means))
+            + self.means.astype("<f8").tobytes()
+            + self.weights.astype("<f8").tobytes()
+        )
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "TDigest":
+        delta, k = _HEADER.unpack(data[: _HEADER.size])
+        body = np.frombuffer(data[_HEADER.size :], dtype="<f8", count=2 * k)
+        return cls(delta, body[:k].copy(), body[k:].copy())
+
+
+def tdigest_by_key(df, key_col: str, value_col: str, delta: float = 100.0) -> dict[str, TDigest]:
+    """Per-key digests built distributed (same shape as hll_by_key):
+    shuffle by key, sketch per task, driver merges the tiny digests."""
+    import itertools
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    hashed = df.select(F.col(key_col).alias("__k"), F.col(value_col).cast("double").alias("__v")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "__k"
+    )
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        per_key: dict[str, TDigest] = {}
+        for batch in batches:
+            ks = batch.column("__k").to_pylist()
+            vs = batch.column("__v").to_numpy(zero_copy_only=False)
+            pairs = sorted(zip(ks, vs), key=lambda t: t[0])
+            for k, grp in itertools.groupby(pairs, key=lambda t: t[0]):
+                per_key.setdefault(k, TDigest(delta)).add(np.array([g[1] for g in grp]))
+        if per_key:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "key": pa.array(list(per_key.keys()), type=pa.string()),
+                    "sketch": pa.array([v.serialize() for v in per_key.values()], type=pa.binary()),
+                }
+            )
+
+    rows = hashed.mapInArrow(build, "key string, sketch binary").collect()
+    out: dict[str, TDigest] = {}
+    for r in rows:
+        td = TDigest.deserialize(bytes(r.sketch))
+        out[r.key] = td if r.key not in out else out[r.key].merge(td)
+    return out
