@@ -542,6 +542,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_counts"] = token_counts
 
+    def stratified_quality_sample(spark, sf):
+        # training-data curation: keep the top-5 quality docs per language
+        # (stratified sampling by quality, deterministic tie-break)
+        from retailer_scrapers_spark.functions.text import quality_score
+
+        docs = _t(spark, sf, "documents").select("doc_id", "lang", quality_score(F.col("text")).alias("quality"))
+        w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        return docs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5).select(
+            "lang", "doc_id", "quality", "rk"
+        )
+
+    q["stratified_quality_sample"] = stratified_quality_sample
+
     def cosine_topk_ann(spark, sf):
         from retailer_scrapers_spark.operators.similarity import cosine_topk
 
@@ -1090,6 +1103,17 @@ def oracle_sql() -> dict[str, str]:
                     ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS ws_tokens,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
         FROM documents
+    """
+
+    o["stratified_quality_sample"] = f"""
+        WITH scored AS (
+          SELECT d.lang, q.doc_id, q.quality
+          FROM ({_QUALITY_SQL}) q JOIN documents d USING (doc_id)
+        )
+        SELECT lang, doc_id, quality, rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rk
+          FROM scored
+        ) WHERE rk <= 5
     """
 
     o["cosine_topk_ann"] = f"""
