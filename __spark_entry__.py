@@ -789,17 +789,16 @@ def oracle_sql() -> dict[str, str]:
           SELECT l_orderkey % 1000 AS index, l_orderkey AS okey, l_linenumber AS lnum
           FROM lineitem
         ), marked AS (
-          SELECT *, COUNT(*) OVER (PARTITION BY index) AS cnt,
-                 ROW_NUMBER() OVER (PARTITION BY index ORDER BY okey, lnum) AS dup_rn
-          FROM t
+          SELECT *, COUNT(*) OVER (PARTITION BY index) AS cnt FROM t
         ), base AS (
-          SELECT GREATEST(MAX(index), 5000) AS m FROM t
+          -- reference: duplicates removed FIRST, then max over the remainder, floored
+          SELECT GREATEST(COALESCE(MAX(index), 5000), 5000) AS m FROM marked WHERE cnt = 1
         )
-        SELECT okey, lnum, index FROM marked WHERE cnt = 1 OR dup_rn = 1
+        SELECT okey, lnum, index FROM marked WHERE cnt = 1
         UNION ALL
         SELECT okey, lnum,
                ROW_NUMBER() OVER (ORDER BY okey, lnum, index) + (SELECT m FROM base) AS index
-        FROM marked WHERE cnt > 1 AND dup_rn > 1
+        FROM marked WHERE cnt > 1
     """
 
     o["d3_drop_duplicates_first"] = """

@@ -76,23 +76,33 @@ def repair_duplicate_indexes(
     floor_value: int = 0,
     order_cols: tuple[str, ...] = ("name", "price"),
 ) -> DataFrame:
-    """D2 — duplicate-index repair (scrape_shoprite.py:550-570).
+    """D2 — duplicate-index repair (scrape_shoprite.py:551-571,
+    scrape_pnp.py:318-338, scrape_checkers.py:553-573,
+    scrape_woolworths.py:293-313).
 
-    Rows whose ``id_col`` value occurs more than once keep ONE occupant
-    of the id (first by ``order_cols``); the rest get fresh sequential
-    ids starting at ``max(max(id), floor_value) + 1``. Matches the
-    reference's remove→reassign→re-append, but deterministic.
+    Reference semantics, matched exactly: EVERY row of a duplicated id
+    is removed (``duplicated(keep=False)``) and reassigned a fresh
+    sequential id; the base is ``max(max(id) over the NON-duplicated
+    remainder, floor_value)`` (the reference drops the duplicates
+    FIRST, then takes ``df['index'].max()``), and new ids run
+    contiguously from ``base + 1``. The reference numbers the removed
+    rows in pandas row order; here the order is pinned to
+    (``order_cols``, ``id_col``) — a total order, reproducible under
+    any parallelism (§2.9).
+
+    Scale shape: the global window runs over the DUPES-ONLY subset
+    (duplicated ids are rare repairs, not the common case — bounded).
     """
     w_cnt = Window.partitionBy(id_col)
-    w_in_dup = Window.partitionBy(id_col).orderBy(*[F.col(c).asc() for c in order_cols])
-    marked = df.withColumn("__cnt", F.count(F.lit(1)).over(w_cnt)).withColumn(
-        "__dup_rn", F.row_number().over(w_in_dup)
-    )
-    keep = marked.filter((F.col("__cnt") == 1) | (F.col("__dup_rn") == 1)).drop("__cnt", "__dup_rn")
-    dupes = marked.filter((F.col("__cnt") > 1) & (F.col("__dup_rn") > 1)).drop("__cnt", "__dup_rn")
+    marked = df.withColumn("__cnt", F.count(F.lit(1)).over(w_cnt))
+    keep = marked.filter(F.col("__cnt") == 1).drop("__cnt")
+    dupes = marked.filter(F.col("__cnt") > 1).drop("__cnt")
 
-    # next id base: max over the WHOLE input, floored (scrape_shoprite.py:560)
-    base = df.agg(F.greatest(F.max(F.col(id_col)), F.lit(floor_value)).alias("m"))
+    # next id base: max over the non-duplicated remainder, floored
+    # (scrape_shoprite.py:560-563: df.drop(duplicates) THEN max(…, floor))
+    base = keep.agg(
+        F.greatest(F.coalesce(F.max(F.col(id_col)), F.lit(floor_value)), F.lit(floor_value)).alias("m")
+    )
     w_seq = Window.orderBy(*[F.col(c).asc() for c in order_cols], F.col(id_col).asc())
     reassigned = (
         dupes.crossJoin(F.broadcast(base))

@@ -97,8 +97,20 @@ class SnapshotCatalog:
 
     def append_union(self, df: DataFrame, table: str, epoch: int) -> DataFrame:
         """K1 append semantics: new snapshot = previous ∪ df (each epoch is
-        one immutable snapshot, like an Iceberg append)."""
-        prev = self.read(table)
+        one immutable snapshot, like an Iceberg append).
+
+        Idempotent under epoch REPLAY (crash between a staged-table commit
+        and the epoch's frontier commit, then resume re-runs the epoch):
+        the union base is the latest snapshot from a STRICTLY EARLIER
+        epoch, and a re-append to an already-committed epoch is a no-op
+        returning the committed snapshot — the same rows are never
+        appended twice.
+        """
+        committed = self.committed_epochs(table)
+        if epoch in committed:  # replay of a committed epoch → no-op
+            return self.read(table, epoch)
+        prior = [e for e in committed if e < epoch]
+        prev = self.read(table, prior[-1]) if prior else None
         out = prev.unionByName(df) if prev is not None else df
         self.write(out, table, epoch)
         return self.read(table, epoch)

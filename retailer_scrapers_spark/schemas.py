@@ -39,7 +39,9 @@ FRONTIER = T.StructType(
     ]
 )
 
-# Serialized per-partition membership-filter state (SURVEY.md §1.3).
+# Serialized per-partition (key-space slice) membership-filter state
+# (SURVEY.md §1.3). One row per slice for the sliced Bloom; a single row
+# (partition_id=0) for the cuckoo, whose blob embeds its own slicing.
 SEEN_FILTER_STATE = T.StructType(
     [
         T.StructField("partition_id", T.IntegerType(), False),
@@ -47,6 +49,7 @@ SEEN_FILTER_STATE = T.StructType(
         T.StructField("n_items", T.LongType(), False),
         T.StructField("m_bits", T.LongType(), False),
         T.StructField("k_hashes", T.IntegerType(), False),
+        T.StructField("n_slices", T.IntegerType(), False),
     ]
 )
 

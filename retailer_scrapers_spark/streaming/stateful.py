@@ -32,16 +32,19 @@ def stateful_politeness(stream: DataFrame, delay_ms: int = 5000) -> DataFrame:
 
     def schedule(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
         (host,) = key
-        last = state.get[0] if state.exists else -delay_ms
+        # first-ever fetch for a host runs immediately with wait 0 —
+        # the batch scheduler's contract (operators/politeness.py)
+        have_prev = state.exists
+        last = state.get[0] if state.exists else 0
         out = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values(["priority", "seq"], ascending=[False, True], kind="mergesort")
             offsets, waits = [], []
             for _ in range(len(pdf)):
-                sched = last + delay_ms
-                waits.append(sched - last)
+                sched = last + delay_ms if have_prev else 0
+                waits.append(sched - last if have_prev else 0)
                 offsets.append(sched)
-                last = sched
+                last, have_prev = sched, True
             out.append(
                 pd.DataFrame(
                     {

@@ -42,3 +42,19 @@ def test_append_union(spark, tmp_path):
     out = cat.append_union(spark.range(2, 5).toDF("id"), "t", 1)
     assert sorted(r.id for r in out.collect()) == [0, 1, 2, 3, 4]
     assert cat.read("t", 0).count() == 2  # earlier snapshot untouched
+
+
+def test_append_union_replay_idempotent(spark, tmp_path):
+    """ADVICE r1: a crash between a staged commit and the frontier commit
+    replays the epoch; re-appending to an already-committed epoch must be
+    a no-op, and an append unions from the PREVIOUS epoch, never from the
+    torn one."""
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    cat.append_union(spark.range(2).toDF("id"), "t", 0)
+    cat.append_union(spark.range(2, 5).toDF("id"), "t", 1)
+    # replay epoch 1 (same deterministic rows) → unchanged
+    out = cat.append_union(spark.range(2, 5).toDF("id"), "t", 1)
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2, 3, 4]
+    # next epoch unions from the latest STRICTLY EARLIER epoch
+    out2 = cat.append_union(spark.range(5, 6).toDF("id"), "t", 2)
+    assert sorted(r.id for r in out2.collect()) == [0, 1, 2, 3, 4, 5]

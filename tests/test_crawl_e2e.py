@@ -130,6 +130,41 @@ def test_resume_matches_uninterrupted(spark, site_df, robots_df, seeds_df, corpu
     assert f1.isEmpty() and f2.isEmpty()
 
 
+def test_epoch_replay_does_not_duplicate_staged_rows(
+    spark, site_df, robots_df, seeds_df, tmp_path_factory
+):
+    """ADVICE r1: staged_* tables commit BEFORE the epoch's frontier
+    snapshot; a crash in that window replays the whole epoch on resume.
+    Simulate the torn epoch by deleting epoch-2's post-staging commits
+    (fetch_log … frontier) while keeping the staged commits, then resume:
+    staged tables must match an uninterrupted run row-for-row."""
+    import shutil
+
+    w1 = str(tmp_path_factory.mktemp("replay_a"))
+    w2 = str(tmp_path_factory.mktemp("replay_b"))
+    cfg1 = CrawlConfig(workdir=w1, epochs=10, per_host_budget=6)
+    CrawlPlan(spark, cfg1, site_df, robots_df).run(seeds_df)
+
+    cfg2 = CrawlConfig(workdir=w2, epochs=10, per_host_budget=6)
+    CrawlPlan(spark, cfg2, site_df, robots_df).run(seeds_df, epochs=3)
+    # tear epoch 2: everything written AFTER the staged_* appends vanishes
+    for table in ("fetch_log", "metrics", "seen_filter", "seen", "frontier"):
+        shutil.rmtree(f"{w2}/{table}/epoch=2", ignore_errors=True)
+    plan_b = CrawlPlan(spark, cfg2, site_df, robots_df)
+    assert plan_b.resume_epoch() == 2  # replays the torn epoch
+    plan_b.run(seeds_df, epochs=10)
+
+    cat1, cat2 = SnapshotCatalog(w1, spark), SnapshotCatalog(w2, spark)
+    for table in ("staged_html", "staged_heavy", "staged_pnp", "staged_wool"):
+        t1, t2 = cat1.read(table), cat2.read(table)
+        if t1 is None:
+            assert t2 is None, table
+            continue
+        rows1 = sorted(map(tuple, t1.collect()))
+        rows2 = sorted(map(tuple, t2.collect()))
+        assert rows1 == rows2, f"{table}: replay changed staged rows"
+
+
 def test_crawl_with_cuckoo_filter_matches_bloom_seen_set(
     spark, site_df, robots_df, seeds_df, crawl_run, tmp_path_factory
 ):

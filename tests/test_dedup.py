@@ -43,17 +43,28 @@ def test_d2_repair_duplicate_indexes(spark):
     )
     out = D.repair_duplicate_indexes(df, "index", floor_value=99, order_cols=("name", "price"))
     rows = {r.name: r["index"] for r in out.collect()}
-    assert rows["a"] == 10          # first occupant keeps the id
+    # reference: ALL rows of a duplicated id are reassigned (keep=False);
+    # base = max over the non-duplicated remainder (11) floored at 99 → 99
     assert rows["d"] == 11
-    assert sorted([rows["b"], rows["c"]]) == [100, 101]  # max(10, 99)+1 …
+    assert [rows["a"], rows["b"], rows["c"]] == [100, 101, 102]
     assert out.count() == 4
     assert out.select("index").distinct().count() == 4
 
 
 def test_d2_floor_below_max(spark):
+    # all rows duplicated → remainder empty → base = floor (reference:
+    # max('-inf', floor) = floor), new ids = floor+1, floor+2
     df = spark.createDataFrame([(50, "a"), (50, "b")], "index long, name string")
     rows = {r.name: r["index"] for r in D.repair_duplicate_indexes(df, "index", 0, ("name",)).collect()}
-    assert rows == {"a": 50, "b": 51}  # base = max(50, 0) + 1
+    assert rows == {"a": 1, "b": 2}
+
+
+def test_d2_base_from_nondup_remainder(spark):
+    # ADVICE r1: input indexes [9, 9] with floor 17499 must yield
+    # {17500, 17501} (reference), NOT {9, 17500}
+    df = spark.createDataFrame([(9, "a"), (9, "b")], "index long, name string")
+    rows = {r.name: r["index"] for r in D.repair_duplicate_indexes(df, "index", 17499, ("name",)).collect()}
+    assert rows == {"a": 17500, "b": 17501}
 
 
 def test_exact_dedup(spark):

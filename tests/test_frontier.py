@@ -73,3 +73,48 @@ def test_assign_indexes_two_level_equals_naive(spark):
         ordered = sorted([r for r in rows if r[0] == retailer], key=lambda r: (r[1], r[2]))
         for rank, r in enumerate(ordered):
             assert got[r] == base + rank, r
+
+
+def _naive_rank(values, start=0):
+    return {v: i + 1 + start for i, v in enumerate(sorted(values))}
+
+
+def test_global_sequence_equals_global_window(spark):
+    """Identity vs row_number() over a global orderBy, including the
+    nasty lexicographic cases: one prefix a proper prefix of another,
+    strings shorter than prefix_len, '.' vs '/' ordering."""
+    urls = (
+        [f"https://a.com/p{i:04d}?x={i % 7}" for i in range(200)]
+        + [f"https://a.com.evil/{i}" for i in range(50)]      # '.' < '/' trap
+        + [f"http://z.org/{i * 37 % 1000}/deep/path" for i in range(100)]
+        + ["https://a.com/", "https://a.com/zzz", "https://b.io", "x", "xy", "xyz"]
+    )
+    assert len(set(urls)) == len(urls)
+    df = spark.createDataFrame([(u,) for u in urls], "url_canon string").repartition(13)
+    expected = _naive_rank(urls, start=7)
+    for plen, clen in [(40, 12), (8, 3), (1, 1), (500, 40)]:
+        out = FR.global_sequence(df, "url_canon", "seq", start=7, prefix_len=plen, coarse_len=clen)
+        got = {r.url_canon: r.seq for r in out.collect()}
+        assert got == expected, f"prefix_len={plen}"
+
+
+def test_global_sequence_ties_count_correct(spark):
+    # duplicate keys: ranks arbitrary among ties but a permutation of 1..n
+    df = spark.createDataFrame([("a",), ("a",), ("b",), ("a",)], "url_canon string")
+    seqs = sorted(r.seq for r in FR.global_sequence(df, prefix_len=2, coarse_len=1).collect())
+    assert seqs == [1, 2, 3, 4]
+
+
+def test_global_sequence_no_row_level_global_sort(spark):
+    """The only unpartitioned window in the plan runs over coarse-prefix
+    BLOCKS, never over the input rows: every row_number (the row-level
+    op) must be partition-scoped."""
+    import re
+
+    df = spark.createDataFrame([(f"https://h{i % 5}.test/{i}",) for i in range(100)], "url_canon string")
+    plan = FR.global_sequence(df)._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^,]+),\s*([^,]+),", plan):
+        # partitioned spec: first arg is the partition column (__gk), the
+        # ordered column comes second; an unpartitioned one starts with
+        # 'url_canon ASC' directly
+        assert "ASC" not in m.group(1), f"unpartitioned row_number in plan: {m.group(0)}"

@@ -44,3 +44,8 @@ def test_stateful_politeness_across_batches(spark, tmp_path):
     assert list(h2.scheduled_offset_ms) == [0]  # fresh host starts at 0
     diffs = pd.Series(sorted(h1.scheduled_offset_ms)).diff().dropna()
     assert (diffs >= 5000).all()
+    # ADVICE r1: a host's FIRST-EVER fetch waits 0 (batch-scheduler
+    # contract); every later fetch waits the full delay
+    assert list(h2.wait_ms) == [0]
+    waits = h1.sort_values("scheduled_offset_ms").wait_ms.tolist()
+    assert waits[0] == 0 and all(w == 5000 for w in waits[1:])
