@@ -574,8 +574,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_ivf_topk_q(spark, sf):
         from retailer_scrapers_spark.operators.similarity import ann_ivf_topk
 
+        # n_probe 8/16: recall@20 = 0.70 at sf0.01 (clusterless gaussian
+        # data — IVF's worst case; pinned by tests/test_recall_pins.py,
+        # which also shows ≥0.9 at a 2/16 probe on clustered data)
         emb = _t(spark, sf, "embeddings")
-        return ann_ivf_topk(emb, _QUERY_VEC, k=20, n_cells=16, n_probe=6)
+        return ann_ivf_topk(emb, _QUERY_VEC, k=20, n_cells=16, n_probe=8)
 
     q["ann_ivf_topk"] = ann_ivf_topk_q
 
@@ -601,10 +604,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_dup_blocked"] = embedding_near_dup_blocked
 
     def embedding_near_dup_lsh(spark, sf):
+        # LSH near-dup in its design regime (high cosine): the synthetic
+        # embeddings are near-random (no pair above cosine 0.5), so plant
+        # deterministic duplicates — each vector also appears scaled ×2
+        # under vec_id+10^6 (cosine exactly 1.0 with its original). The
+        # operator must recover those pairs via multi-table hyperplane
+        # buckets; tests/test_recall_pins.py pins recall ≥ 0.9.
         from retailer_scrapers_spark.operators.similarity import embedding_near_dup_pairs
 
         emb = _t(spark, sf, "embeddings")
-        return embedding_near_dup_pairs(emb, threshold=0.2, n_planes=6)
+        planted = emb.select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias("embedding"),
+            "label",
+        )
+        return embedding_near_dup_pairs(emb.unionByName(planted), threshold=0.95, n_planes=8, n_tables=4)
 
     q["embedding_near_dup_lsh"] = embedding_near_dup_lsh
 
@@ -1053,13 +1067,22 @@ def oracle_sql() -> dict[str, str]:
           FROM words WHERE len(w) >= 3
         ), sizes AS (
           SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        ), rare AS (
+          -- candidate shingles: document frequency <= df_cap (1000),
+          -- mirroring the engine's hot-shingle cap contract
+          SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM sh l JOIN rare USING (sh) JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
         ), inter AS (
+          -- exact verify over the FULL shingle sets for candidate pairs
           SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS i
           FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
           GROUP BY 1, 2
         )
         SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
-        FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+        FROM inter JOIN cand USING (a, b)
+        JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
         WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.12
     """
 

@@ -127,8 +127,54 @@ def decode_qjpg(data: bytes) -> np.ndarray:
     return arr.reshape(h, w) if c == 1 else arr.reshape(h, w, c)
 
 
+def decode_svg(data: bytes) -> np.ndarray:
+    """S8 SVG branch (scrape_shoprite.py:70-93): the reference sniffs
+    ``image/svg+xml`` and converts the blob to PNG via svglib/reportlab.
+    Those libs aren't in this container, so the engine rasterizes a
+    deterministic SVG SUBSET with stdlib XML — ``<rect>`` and
+    ``<circle>`` with ``fill="#rrggbb"`` on a black canvas — enough to
+    make the convert-to-PNG branch real, testable, and lossless for the
+    synthetic fixtures. Unknown elements are ignored (like a renderer
+    skipping unsupported features)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(data.decode("utf-8"))
+    w = int(float(root.get("width", "64")))
+    h = int(float(root.get("height", "64")))
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+
+    def rgb(s: str) -> tuple[int, int, int]:
+        s = s.lstrip("#")
+        return tuple(int(s[i : i + 2], 16) for i in (0, 2, 4))
+
+    for el in root.iter():
+        tag = el.tag.rsplit("}", 1)[-1]
+        if tag == "rect":
+            x, y = int(float(el.get("x", "0"))), int(float(el.get("y", "0")))
+            rw, rh = int(float(el.get("width", "0"))), int(float(el.get("height", "0")))
+            canvas[max(y, 0) : max(y + rh, 0), max(x, 0) : max(x + rw, 0)] = rgb(el.get("fill", "#000000"))
+        elif tag == "circle":
+            cx, cy, r = (float(el.get(k, "0")) for k in ("cx", "cy", "r"))
+            yy, xx = np.ogrid[:h, :w]
+            mask = (xx - cx) ** 2 + (yy - cy) ** 2 <= r**2
+            canvas[mask] = rgb(el.get("fill", "#000000"))
+    return canvas
+
+
+def svg_to_png(data: bytes) -> bytes:
+    """Reference parity: SVG blob → rasterize → PNG bytes."""
+    return encode_png(decode_svg(data))
+
+
+def sniff_svg(data: bytes) -> bool:
+    """Content sniff (the reference checks the Content-Type header;
+    blobs here carry no headers, so sniff the XML preamble)."""
+    head = bytes(data[:256]).lstrip()
+    return head.startswith(b"<svg") or (head.startswith(b"<?xml") and b"<svg" in head)
+
+
 _ENCODERS = {"png": encode_png, "raw": encode_raw, "bmp": encode_raw, "qjpg": encode_qjpg}
-_DECODERS = {"png": decode_png, "raw": decode_raw, "bmp": decode_raw, "qjpg": decode_qjpg}
+_DECODERS = {"png": decode_png, "raw": decode_raw, "bmp": decode_raw, "qjpg": decode_qjpg, "svg": decode_svg}
 
 
 def encode_image(arr: np.ndarray, fmt: str) -> bytes:
@@ -290,3 +336,47 @@ def make_resize_udf(out_w: int, out_h: int):
         return pd.Series(out)
 
     return resize_udf
+
+
+def _row_is_svg(b, f_) -> bool:
+    return b is not None and (f_ == "svg" or (f_ is None and sniff_svg(bytes(b))))
+
+
+def convert_svg_blobs(df, bytes_col: str = "bytes", fmt_col: str = "fmt"):
+    """S8 SVG branch as a DataFrame step: rows whose blob is SVG —
+    declared ``fmt='svg'`` OR content-sniffed (the reference checks the
+    Content-Type header, scrape_shoprite.py:70-74) — are converted to
+    PNG before the sink; everything else passes through untouched.
+
+    The per-row dispatch lives INSIDE the UDFs: Spark extracts pandas
+    UDFs out of ``when()`` into an unconditional projection, so a
+    convert UDF guarded only by a ``when`` condition would still run on
+    every (non-SVG) blob.
+    """
+
+    @F.pandas_udf(T.BinaryType())
+    def _convert(blob: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for b, f_ in zip(blob.values, fmt.values):
+            if not _row_is_svg(b, f_):
+                out.append(None if b is None else bytes(b))
+                continue
+            try:
+                out.append(svg_to_png(bytes(b)))
+            except Exception:
+                # reference parity: a failed download/convert is SKIPPED,
+                # not fatal (scrape_shoprite.py:100-102 returns False);
+                # a null blob is dropped by the verify-after-write filter
+                out.append(None)
+        return pd.Series(out)
+
+    @F.pandas_udf(T.BooleanType())
+    def _is_svg(blob: pd.Series, fmt: pd.Series) -> pd.Series:
+        return pd.Series([_row_is_svg(b, f_) for b, f_ in zip(blob.values, fmt.values)])
+
+    flagged = df.withColumn("__was_svg", _is_svg(F.col(bytes_col), F.col(fmt_col)))
+    return (
+        flagged.withColumn(bytes_col, _convert(F.col(bytes_col), F.col(fmt_col)))
+        .withColumn(fmt_col, F.when(F.col("__was_svg"), F.lit("png")).otherwise(F.col(fmt_col)))
+        .drop("__was_svg")
+    )

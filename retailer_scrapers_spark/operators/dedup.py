@@ -157,15 +157,22 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    bucket_cap: int = 2000,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs: band the signature (rows=num_hashes/bands),
     hash each band to a bucket key, self-join on (band, bucket).
 
     Scale shape: the self-join is an equi-join on the band key →
-    hash-partitioned shuffle, never an O(n²) cross product; hot buckets
-    (boilerplate docs) are bounded because band keys include the band
-    index. Returns (a, b) id pairs with a < b and their estimated
-    Jaccard (fraction of matching signature positions).
+    hash-partitioned shuffle, never an O(n²) cross product. Buckets
+    holding more than ``bucket_cap`` docs are EXCLUDED from candidate
+    generation (VERDICT r1 #3): a boilerplate-heavy corpus otherwise
+    puts n docs in one bucket → n² pairs in a single task. True
+    near-dups collide in MANY of the ``bands`` independent buckets, so
+    dropping the few mega-buckets costs recall only for docs whose
+    every matching band is boilerplate-degenerate.
+
+    Returns (a, b) id pairs with a < b and their estimated Jaccard
+    (fraction of matching signature positions).
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
@@ -179,6 +186,13 @@ def minhash_lsh_pairs(
             ])
         ).alias("bb"),
     ).select(id_col, "minhash", "bb.band", "bb.bucket")
+    small = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= bucket_cap)
+        .select("band", "bucket")
+    )
+    banded = banded.join(small, ["band", "bucket"])
     left = banded.select(F.col(id_col).alias("a"), F.col("minhash").alias("sig_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("b"), F.col("minhash").alias("sig_b"), "band", "bucket")
     pairs = (
@@ -211,29 +225,48 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard similarity with a HOT-SHINGLE CAP.
 
-    token-shingle → explode → self-join on shingle (inverted index) →
-    per-pair intersection count → |A∪B| = |A|+|B|−|A∩B|. The join is on
-    the shingle key (shuffle), never a cross join.
+    Candidate generation: inverted-index self-join on shingles whose
+    document frequency is ≤ ``df_cap``. Without the cap a boilerplate
+    "stop shingle" shared by 10^6 docs makes one join key quadratic
+    (10^12 pairs in a single task) — VERDICT r1 #3. With it, per-key
+    work is bounded by df_cap².
+
+    Verification: EXACT full-set Jaccard per candidate pair via
+    ``array_intersect`` over each doc's complete shingle array — the
+    cap never changes a reported score, only which pairs are
+    considered. Contract (mirrored by the SQL oracle): a pair is
+    emitted iff it shares ≥1 sub-cap shingle AND full-set Jaccard ≥
+    ``threshold``. Near-dup pairs at sane thresholds always share rare
+    shingles, so recall loss is confined to pairs overlapping ONLY in
+    boilerplate — exactly the pairs near-dup dedup should not merge.
     """
-    sh = df.select(F.col(id_col), F.explode(F.array_distinct(_shingles(text_col, n))).alias("sh"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        sh.alias("l")
-        .join(sh.alias("r"), "sh")
+    docs = df.select(F.col(id_col), F.array_distinct(_shingles(text_col, n)).alias("__shset"))
+    sh = docs.select(id_col, F.explode("__shset").alias("sh"))
+    rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df")).filter(F.col("__df") <= df_cap).select("sh")
+    sh_rare = sh.join(rare, "sh")
+    cand = (
+        sh_rare.alias("l")
+        .join(sh_rare.alias("r"), "sh")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .dropDuplicates(["a", "b"])
     )
-    sz_a = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    da = docs.select(F.col(id_col).alias("a"), F.col("__shset").alias("__sa"))
+    db = docs.select(F.col(id_col).alias("b"), F.col("__shset").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
     return (
-        inter.join(sz_a, "a")
-        .join(sz_b, "b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        cand.join(da, "a")
+        .join(db, "b")
+        .withColumn("jaccard", inter / (F.size("__sa") + F.size("__sb") - inter))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.col("jaccard").cast("double").alias("jaccard"))
     )

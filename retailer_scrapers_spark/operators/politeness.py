@@ -95,11 +95,24 @@ def politeness_schedule(
     ``within_budget`` (false → caller defers the row to the next
     epoch). This is the engine's replacement for the reference's
     per-thread ``time.sleep`` loops (scrape_shoprite.py:419-428).
+
+    CONTINUOUS mode (the batch composition of
+    ``streaming.stateful.stateful_politeness``): when the input carries
+    a ``carry_ms`` column — the per-(host, salt) wait still owed from
+    the previous epoch, epochs being back-to-back budget windows — the
+    group's first fetch is scheduled at ``carry + salt·delay`` and its
+    ``wait_ms`` is that carry, so per-host spacing holds ACROSS epoch
+    boundaries, not just within one. Absent (or null) carry ⇒ the
+    original per-epoch restart.
     """
     in_cols = selected.columns
     for c in (salt_col, n_salt_col):
         if c not in in_cols:
             selected = selected.withColumn(c, F.lit(1 if c == n_salt_col else 0))
+    if "carry_ms" not in selected.columns:
+        selected = selected.withColumn("carry_ms", F.lit(0).cast("long"))
+    else:
+        selected = selected.withColumn("carry_ms", F.coalesce(F.col("carry_ms"), F.lit(0)).cast("long"))
     if delay_col in selected.columns:
         selected = selected.withColumn(delay_col, F.coalesce(F.col(delay_col), F.lit(default_delay_s)))
     else:
@@ -113,13 +126,14 @@ def politeness_schedule(
         delay_ms = int(float(pdf[delay_col].iloc[0]) * 1000)
         n_salt = max(int(pdf[n_salt_col].iloc[0]), 1)
         salt = int(pdf[salt_col].iloc[0]) if n_salt > 1 else 0
+        carry = int(pdf["carry_ms"].iloc[0])
         stride = delay_ms * n_salt
-        base = salt * delay_ms
+        base = carry + salt * delay_ms
         k = pd.RangeIndex(len(pdf)).to_numpy()
         offset = base + k * stride
         pdf = pdf.assign(
             scheduled_offset_ms=offset,
-            wait_ms=[0] + [stride] * (len(pdf) - 1),
+            wait_ms=[carry] + [stride] * (len(pdf) - 1),
             within_budget=offset < budget_ms,
         )
         return pdf

@@ -87,6 +87,22 @@ class SnapshotCatalog:
             return None
         return self.spark.read.parquet(self._epoch_dir(table, epoch))
 
+    def read_all(self, table: str, max_epoch: int | None = None) -> DataFrame | None:
+        """Union of ALL committed epoch snapshots (optionally only those
+        ``<= max_epoch``) — the read side of DELTA-APPEND tables, where
+        each epoch writes only its new rows (e.g. ``seen``: per-epoch
+        newly-seen URL sets, disjoint by construction). At 10^10 URLs
+        this keeps the per-epoch write volume ∝ newly-seen instead of
+        rewriting the whole table. ``max_epoch`` makes resume consistent
+        when a crash landed between the seen commit and the frontier
+        commit (the seen table may be one epoch ahead)."""
+        eps = self.committed_epochs(table)
+        if max_epoch is not None:
+            eps = [e for e in eps if e <= max_epoch]
+        if not eps:
+            return None
+        return self.spark.read.parquet(*[self._epoch_dir(table, e) for e in eps])
+
     def read_meta(self, table: str, epoch: int | None = None) -> dict | None:
         if epoch is None:
             epoch = self.latest_epoch(table)

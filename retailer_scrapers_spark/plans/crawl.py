@@ -77,6 +77,10 @@ class CrawlConfig:
     bloom_hashes: int = 7
     bloom_slices: int = 8  # power of two; per-slice state rows in checkpoint
     filter_kind: str = "bloom"  # "bloom" (OR-mergeable) | "cuckoo" (deletable)
+    # "epoch": scheduler clock restarts each epoch (reference: one run per
+    # day). "continuous": per-(host,salt) politeness wait carries across
+    # epochs — the batch composition of streaming.stateful (VERDICT r1 #9)
+    politeness_mode: str = "epoch"
     target_rows_per_task: int = 10_000
     default_delay_s: float = 10.0
     base_offsets: dict[str, int] = field(default_factory=lambda: dict(BASE_OFFSETS))
@@ -117,12 +121,22 @@ class CrawlPlan:
     def run_epoch(self, epoch: int, frontier: DataFrame, seen: DataFrame | None, bloom: BloomFilter | None):
         cfg = self.cfg
         log_parts = []
+        pinned: list[DataFrame] = []
 
-        # pin the epoch's inputs: every downstream action re-reads from here
-        # instead of re-deriving the whole prior-epoch lineage
-        frontier = frontier.localCheckpoint(eager=True)
+        def pin(df: DataFrame) -> DataFrame:
+            """Cache a DataFrame consumed by several downstream actions.
+            persist() keeps the columnar representation; the previous
+            localCheckpoint(eager=True) row-serialized every block and
+            anti-scaled at multi-million-row frontiers (BENCH/BASELINE.md,
+            VERDICT r1 #2). Lineage is flattened once per epoch anyway by
+            the end-of-epoch parquet write + read-back."""
+            df = df.persist()
+            pinned.append(df)
+            return df
+
+        frontier = pin(frontier)
         if seen is not None:
-            seen = seen.localCheckpoint(eager=True)
+            seen = pin(seen)
 
         allowed, denied = robots_filter(frontier, self.robots.select("host", "disallow", "crawl_delay_s"))
         log_parts.append(denied.select("url_canon", "host", "attempt").withColumn("result", F.lit("denied_robots")))
@@ -134,23 +148,59 @@ class CrawlPlan:
         deferred_w = deferred_w.drop("visit_start_utc", "visit_end_utc", "crawl_delay_s")
         log_parts.append(deferred_w.select("url_canon", "host", "attempt").withColumn("result", F.lit("outside_window")))
 
-        unseen = filter_unseen(in_window, bloom, seen).localCheckpoint(eager=True)
-        n_dupes = in_window.count() - unseen.count()
+        unseen = pin(filter_unseen(in_window, bloom, seen))
+        # D6 metric as an EVENT stream (one aggregation with the others),
+        # not two extra full-pipeline count() actions (VERDICT r1 #5-minor)
+        dup_seen = in_window.join(unseen.select("url_canon"), "url_canon", "left_anti")
+        log_parts.append(dup_seen.select("url_canon", "host", "attempt").withColumn("result", F.lit("dup_seen")))
 
         selected = topk_per_host(unseen, cfg.per_host_budget)
         backlog = unseen.join(selected.select("url_canon"), "url_canon", "left_anti").drop("crawl_delay_s")
 
         salted = salt_hot_hosts(selected, cfg.target_rows_per_task)
-        sched = politeness_schedule(salted, cfg.epoch_budget_s, default_delay_s=cfg.default_delay_s).localCheckpoint(
-            eager=True
-        )
+        if cfg.politeness_mode == "continuous":
+            state = self.catalog.read("sched_state", epoch - 1) if epoch > 0 else None
+            if state is not None:
+                salted = salted.join(F.broadcast(state), ["host", "salt"], "left")
+        sched = pin(politeness_schedule(salted, cfg.epoch_budget_s, default_delay_s=cfg.default_delay_s))
         runnable = sched.filter(F.col("within_budget"))
         overflow = sched.filter(~F.col("within_budget")).drop(
             "crawl_delay_s", "salt", "n_salt", "scheduled_offset_ms", "wait_ms", "within_budget"
         )
         log_parts.append(overflow.select("url_canon", "host", "attempt").withColumn("result", F.lit("deferred_budget")))
 
-        fetched = stamp_fetch_seq(fetch_pages(runnable, self.site)).localCheckpoint(eager=True)
+        if cfg.politeness_mode == "continuous":
+            # persist each (host, salt)'s owed wait for the next epoch:
+            # next_free − budget for groups that fetched; prior carry
+            # decayed by one budget window for groups that didn't
+            budget_ms = int(cfg.epoch_budget_s * 1000)
+            stride_ms = (
+                F.coalesce(F.col("crawl_delay_s"), F.lit(cfg.default_delay_s))
+                * 1000
+                * F.greatest(F.col("n_salt"), F.lit(1))
+            ).cast("long")
+            cur_state = (
+                sched.filter(F.col("within_budget"))
+                .groupBy("host", "salt")
+                .agg(F.max(F.col("scheduled_offset_ms") + stride_ms).alias("__next_free"))
+                .select(
+                    "host", "salt",
+                    F.greatest(F.col("__next_free") - budget_ms, F.lit(0)).cast("long").alias("carry_ms"),
+                )
+            )
+            prev_state = self.catalog.read("sched_state", epoch - 1) if epoch > 0 else None
+            if prev_state is not None:
+                decayed = (
+                    prev_state.join(cur_state.select("host", "salt"), ["host", "salt"], "left_anti")
+                    .select(
+                        "host", "salt",
+                        F.greatest(F.col("carry_ms") - budget_ms, F.lit(0)).cast("long").alias("carry_ms"),
+                    )
+                )
+                cur_state = cur_state.unionByName(decayed)
+            self.catalog.write(cur_state.filter(F.col("carry_ms") > 0), "sched_state", epoch)
+
+        fetched = pin(stamp_fetch_seq(fetch_pages(runnable, self.site)))
         ok, retry, dropped = requeue_failures(fetched)
         log_parts.append(
             ok.select("url_canon", "host", "attempt").withColumn("result", F.lit("ok"))
@@ -173,9 +223,11 @@ class CrawlPlan:
         if "json_offer" in kinds:
             self.catalog.append_union(parse_offer_sentence(ok.filter(F.col("payload_kind") == "json_offer")), "staged_offer", epoch)
 
-        # seen' = seen ∪ attempted-to-completion (ok + dropped); retries stay unseen
-        newly_seen = ok.select("url_canon").unionByName(dropped.select("url_canon")).distinct().localCheckpoint(eager=True)
-        seen_next = newly_seen if seen is None else seen.select("url_canon").unionByName(newly_seen).distinct()
+        # seen' = seen ∪ attempted-to-completion (ok + dropped); retries stay
+        # unseen. newly_seen ⊆ unseen so the union is disjoint by
+        # construction — no re-distinct of the (huge) seen set per epoch.
+        newly_seen = pin(ok.select("url_canon").unionByName(dropped.select("url_canon")).distinct())
+        seen_next = newly_seen if seen is None else seen.select("url_canon").unionByName(newly_seen)
 
         # frontier' = backlog ∪ window-deferred ∪ budget-overflow ∪ retries ∪ new discoveries
         max_seq = frontier.agg(F.max("seq")).collect()[0][0] or 0
@@ -221,20 +273,30 @@ class CrawlPlan:
         metrics = (
             events.groupBy("host", "result").agg(F.count(F.lit(1)).alias("n"))
             .withColumn("epoch", F.lit(epoch))
-            .withColumn("n_dup_seen", F.lit(n_dupes))
         )
         self.catalog.write(metrics, "metrics", epoch)
 
-        # membership-filter state (north_rule "Bloom/cuckoo"): bloom kind
-        # builds a delta filter and OR-merges (cheap, O(delta)); cuckoo
-        # kind rebuilds distributed from the full seen set (tables don't
-        # OR-merge) — the price of deletability.
+        # membership-filter state (north_rule "Bloom/cuckoo"): both kinds
+        # now do O(delta) work per epoch — bloom builds a delta filter and
+        # OR-merges; cuckoo delta-inserts the newly-seen keys in place
+        # (slice-partitioned), falling back to a larger rebuild only when
+        # headroom runs out (tables can't grow in place).
         if cfg.filter_kind == "cuckoo":
-            from retailer_scrapers_spark.operators.cuckoo import build_cuckoo
+            from retailer_scrapers_spark.operators.cuckoo import build_cuckoo, insert_into_cuckoo
 
-            bloom_next = build_cuckoo(seen_next.toDF("url_canon"), capacity=cfg.bloom_bits, n_slices=cfg.bloom_slices)
+            n_new = newly_seen.count()
+            if bloom is None:
+                bloom_next = build_cuckoo(newly_seen.toDF("url_canon"), capacity=cfg.bloom_bits, n_slices=cfg.bloom_slices)
+            elif (bloom.n_items + n_new) > int(0.90 * bloom.capacity):
+                bloom_next = build_cuckoo(
+                    seen_next.toDF("url_canon"),
+                    capacity=max(cfg.bloom_bits, 2 * (bloom.n_items + n_new)),
+                    n_slices=cfg.bloom_slices,
+                )
+            else:
+                bloom_next = insert_into_cuckoo(bloom, newly_seen.toDF("url_canon"))
             bloom_df = self.spark.createDataFrame(
-                [(0, bytearray(bloom_next.serialize()), bloom_next.n_items, 0, 0, cfg.bloom_slices)],
+                [(0, bytearray(bloom_next.serialize()), bloom_next.n_items, 0, 0, bloom_next.n_slices)],
                 SEEN_FILTER_STATE,
             )
         else:
@@ -246,10 +308,16 @@ class CrawlPlan:
             bloom_next = delta_bloom if bloom is None else bloom.merge(delta_bloom)
             bloom_df = self.spark.createDataFrame(filter_state_rows(bloom_next), SEEN_FILTER_STATE)
         self.catalog.write(bloom_df, "seen_filter", epoch)
-        self.catalog.write(seen_next.toDF("url_canon"), "seen", epoch)
+        # DELTA-append: each epoch's snapshot holds only ITS newly-seen
+        # URLs (disjoint across epochs); readers union the committed
+        # epochs. Write volume per epoch ∝ newly-seen, not O(|seen|)
+        # (VERDICT r1 #5).
+        self.catalog.write(newly_seen.toDF("url_canon"), "seen", epoch)
         self.catalog.write(frontier_next, "frontier", epoch)
+        for df in pinned:
+            df.unpersist()
         # hand the NEXT epoch the materialized snapshots (flat lineage)
-        return self.catalog.read("frontier", epoch), self.catalog.read("seen", epoch), bloom_next
+        return self.catalog.read("frontier", epoch), self.catalog.read_all("seen"), bloom_next
 
     # -- full run ---------------------------------------------------------------
     def run(self, seeds: DataFrame, epochs: int | None = None) -> None:
@@ -259,8 +327,12 @@ class CrawlPlan:
             frontier = self._init_frontier(seeds)
             seen, bloom = None, None
         else:  # resume from checkpoint (R8)
-            frontier = self.catalog.read("frontier")
-            seen = self.catalog.read("seen")
+            last_f = self.catalog.latest_epoch("frontier")
+            frontier = self.catalog.read("frontier", last_f)
+            # union of per-epoch deltas, capped at the frontier's epoch so
+            # a crash between the seen and frontier commits can't make the
+            # replayed epoch treat its own fetches as already seen
+            seen = self.catalog.read_all("seen", max_epoch=last_f)
             state = self.catalog.read("seen_filter").collect()
             if self.cfg.filter_kind == "cuckoo":
                 from retailer_scrapers_spark.operators.cuckoo import SlicedCuckoo
@@ -351,8 +423,9 @@ class CrawlPlan:
         rows = rows.withColumn("__cat", F.coalesce(F.col("category"), F.lit("")))
         rows = assign_global_indexes(rows, offsets, order_cols=("__cat", "page", "pos"))
 
-        # image pipeline: F5 skip-refetch → S8 corpus join → C12 phash verify
-        from retailer_scrapers_spark.functions.images import phash_udf
+        # image pipeline: F5 skip-refetch → S8 corpus join → SVG→PNG
+        # convert → C12 phash verify
+        from retailer_scrapers_spark.functions.images import convert_svg_blobs, phash_udf
         from retailer_scrapers_spark.sources.fetch import fetch_images
 
         if existing is not None:
@@ -367,6 +440,8 @@ class CrawlPlan:
         need_fetch = rows.filter(~F.col("reuse_image") & F.col("image_url").isNotNull())
         no_fetch = rows.filter(F.col("reuse_image") | F.col("image_url").isNull())
         imaged = fetch_images(need_fetch, corpus)
+        # S8 SVG branch (scrape_shoprite.py:70-93): svg blobs → PNG
+        imaged = convert_svg_blobs(imaged)
         imaged = imaged.withColumn(
             "phash_ok",
             F.when(F.col("bytes").isNotNull(), phash_udf(F.col("bytes"), F.col("fmt")) == F.col("phash_expected")).otherwise(F.lit(None)),

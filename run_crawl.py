@@ -61,7 +61,7 @@ def main() -> None:
     plan.run(seeds, epochs=args.epochs)
 
     summary: dict = {"resumed_from_epoch": start, "epochs_committed": plan.catalog.committed_epochs("frontier")}
-    seen = plan.catalog.read("seen")
+    seen = plan.catalog.read_all("seen")
     summary["urls_seen"] = seen.count() if seen is not None else 0
     if args.finalize:
         products = plan.finalize(corpus)

@@ -34,6 +34,9 @@ class RefConfig:
     epoch_budget_s: float = 17_100.0
     logical_now_s: int = 5 * 3600
     default_delay_s: float = 10.0
+    # "continuous": per-host politeness wait carries across epochs
+    # (back-to-back budget windows), mirroring CrawlConfig.politeness_mode
+    politeness_mode: str = "epoch"
 
 
 @dataclass
@@ -123,6 +126,7 @@ def run_reference(
         uc = canonicalize_py(s["url"])
         frontier.append(FrontierRow(s["url"], uc, _host_of(uc), s.get("priority") or 1.0, 0, 0, 0, i + 1))
 
+    carry: dict[str, int] = {}  # continuous-mode per-host owed wait (ms)
     for epoch in range(cfg.epochs):
         if not frontier:
             break
@@ -155,21 +159,38 @@ def run_reference(
             rows = sorted(by_host[host], key=lambda r: (-r.priority, r.seq))
             selected += rows[: cfg.per_host_budget]
             backlog += rows[cfg.per_host_budget :]
-        # R1 politeness schedule (simulated clock; n_salt = 1 at fixture scale)
+        # R1 politeness schedule (simulated clock; n_salt = 1 at fixture
+        # scale). Continuous mode: the host's first fetch starts at the
+        # carry owed from the previous epoch (back-to-back windows).
         scheduled: list[tuple[FrontierRow, int]] = []
         overflow: list[FrontierRow] = []
         budget_ms = int(cfg.epoch_budget_s * 1000)
+        sched_hosts: set[str] = set()
         for host in by_host:
             rows = sorted([r for r in selected if r.host == host], key=lambda r: (-r.priority, r.seq))
             rb = robots.get(host) or {}
             delay_ms = int((rb.get("crawl_delay_s") or cfg.default_delay_s) * 1000)
+            base = carry.get(host, 0) if cfg.politeness_mode == "continuous" else 0
+            host_last = None
             for k, r in enumerate(rows):
-                off = k * delay_ms
+                off = base + k * delay_ms
                 if off < budget_ms:
                     scheduled.append((r, off))
+                    host_last = off
                 else:
                     overflow.append(r)
                     res.events.append({"epoch": epoch, "url_canon": r.url_canon, "result": "deferred_budget"})
+            if cfg.politeness_mode == "continuous" and rows:
+                sched_hosts.add(host)
+                carry[host] = max(0, host_last + delay_ms - budget_ms) if host_last is not None else max(
+                    0, carry.get(host, 0) - budget_ms
+                )
+        if cfg.politeness_mode == "continuous":
+            for host in list(carry):
+                if host not in sched_hosts:
+                    carry[host] = max(0, carry[host] - budget_ms)
+                if carry[host] == 0:
+                    del carry[host]
         # fetch in deterministic order (scheduled_offset_ms, host, seq)
         scheduled.sort(key=lambda t: (t[1], t[0].host, t[0].seq))
         retries: list[FrontierRow] = []

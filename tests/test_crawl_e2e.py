@@ -15,7 +15,7 @@ def test_frontier_drains_and_seen_covers_site(crawl_run, site_df):
     plan, _ = crawl_run
     frontier = plan.catalog.read("frontier")
     assert frontier.isEmpty()  # everything reachable was crawled
-    seen = {r.url_canon for r in plan.catalog.read("seen").collect()}
+    seen = {r.url_canon for r in plan.catalog.read_all("seen").collect()}
     site_urls = {r.url_canon for r in site_df.collect()}
     # every site URL was eventually fetched (incl. seeded-5xx pages via retry)
     assert site_urls <= seen
@@ -32,7 +32,7 @@ def test_fetch_log_and_metrics_exist(crawl_run):
     if retried.count():
         # the retry of a seeded-5xx URL appears later with attempt=1
         u = retried.collect()[0].url_canon
-        again = plan.catalog.read("seen").filter(F.col("url_canon") == u)
+        again = plan.catalog.read_all("seen").filter(F.col("url_canon") == u)
         assert again.count() == 1
     metrics = cat.read("metrics")
     assert {"host", "result", "n", "epoch"} <= set(metrics.columns)
@@ -122,8 +122,8 @@ def test_resume_matches_uninterrupted(spark, site_df, robots_df, seeds_df, corpu
     plan_b2.run(seeds_df, epochs=10)
 
     cat1, cat2 = SnapshotCatalog(w1, spark), SnapshotCatalog(w2, spark)
-    seen1 = {r.url_canon for r in cat1.read("seen").collect()}
-    seen2 = {r.url_canon for r in cat2.read("seen").collect()}
+    seen1 = {r.url_canon for r in cat1.read_all("seen").collect()}
+    seen2 = {r.url_canon for r in cat2.read_all("seen").collect()}
     assert seen1 == seen2
     f1 = cat1.read("frontier")
     f2 = cat2.read("frontier")
@@ -175,7 +175,7 @@ def test_crawl_with_cuckoo_filter_matches_bloom_seen_set(
     plan = CrawlPlan(spark, cfg, site_df, robots_df)
     plan.run(seeds_df)
     bloom_plan, _ = crawl_run
-    seen_cuckoo = {r.url_canon for r in plan.catalog.read("seen").collect()}
-    seen_bloom = {r.url_canon for r in bloom_plan.catalog.read("seen").collect()}
+    seen_cuckoo = {r.url_canon for r in plan.catalog.read_all("seen").collect()}
+    seen_bloom = {r.url_canon for r in bloom_plan.catalog.read_all("seen").collect()}
     assert seen_cuckoo == seen_bloom
     assert plan.catalog.read("frontier").isEmpty()

@@ -31,3 +31,31 @@ def test_csv_encoding_option(spark, tmp_path):
     df.coalesce(1).write.option("header", True).mode("overwrite").csv(out)
     back = spark.read.option("header", True).csv(out)
     assert back.collect()[0].name == "Café Crème"
+
+
+def test_latin1_fallback_read(spark, tmp_path):
+    """S9 parity (scrape_shoprite.py:440-448): a latin1-encoded CSV —
+    which strict UTF-8 cannot decode — is detected and read losslessly;
+    UTF-8 files stay UTF-8."""
+    from retailer_scrapers_spark.sources.csv_io import detect_csv_encoding, read_products_csv
+
+    lat = tmp_path / "latin1.csv"
+    lat.write_bytes("name,price\nCafé Crème,R9.99\n".encode("latin1"))
+    assert detect_csv_encoding(str(lat)) == "latin1"
+    back = read_products_csv(spark, str(lat))
+    assert back.collect()[0].name == "Café Crème"
+
+    utf = tmp_path / "utf8.csv"
+    utf.write_bytes("name,price\nCafé Crème,R9.99\n".encode("utf-8"))
+    assert detect_csv_encoding(str(utf)) == "utf-8"
+    assert read_products_csv(spark, str(utf)).collect()[0].name == "Café Crème"
+
+
+def test_csv_nan_fill_matches_reference(spark, tmp_path):
+    # reference load_existing_data: NaN cells → ' ' (scrape_shoprite.py:452-456)
+    from retailer_scrapers_spark.sources.csv_io import read_products_csv
+
+    p = tmp_path / "gaps.csv"
+    p.write_text("name,price\nthing,\n")
+    row = read_products_csv(spark, str(p)).collect()[0]
+    assert row.price == " "

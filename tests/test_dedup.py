@@ -102,3 +102,47 @@ def test_ngram_jaccard_pairs(spark):
     df = spark.createDataFrame([(1, a), (2, a), (3, "x y z w v u t s")], "doc_id long, text string")
     got = {(r.a, r.b): r.jaccard for r in D.ngram_jaccard_pairs(df, n=2, threshold=0.9).collect()}
     assert got == {(1, 2): 1.0}
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """VERDICT r1 #3: a boilerplate shingle shared by every doc must not
+    generate quadratic candidate pairs; true near-dups (sharing rare
+    shingles) still verify with their EXACT full-set Jaccard."""
+    boiler = "all rights reserved contact us"
+    docs = [(i, f"{boiler} unique{i} tail{i}") for i in range(40)]
+    # one true near-dup pair sharing rare content
+    docs += [(100, "the quick brown fox jumps over the lazy dog"),
+             (101, "the quick brown fox jumps over the lazy dog today")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.a, r.b): r.jaccard for r in D.ngram_jaccard_pairs(df, n=2, threshold=0.5, df_cap=5).collect()}
+    assert (100, 101) in got                       # rare-shingle pair survives
+    assert all(a >= 100 for a, _ in got)           # boilerplate-only pairs capped away
+    # and the score is the exact full-set Jaccard (8 shared of 9∪8=9 bigrams)
+    assert abs(got[(100, 101)] - 8 / 9) < 1e-9
+
+
+def test_ngram_jaccard_cap_noop_below_cap(spark):
+    # with df_cap above every shingle's frequency the capped operator
+    # matches the uncapped contract (pairs sharing >=1 shingle, exact jaccard)
+    a = "one two three four five six seven eight"
+    df = spark.createDataFrame([(1, a), (2, a), (3, "x y z w v u t s")], "doc_id long, text string")
+    got = {(r.a, r.b): r.jaccard for r in D.ngram_jaccard_pairs(df, n=2, threshold=0.9, df_cap=1000).collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_minhash_lsh_bucket_cap_bounds_pairs(spark):
+    """A corpus of identical boilerplate docs lands in one bucket per
+    band; with bucket_cap below the corpus size no quadratic pair set is
+    generated, while distinct near-dup pairs in small buckets survive."""
+    boiler = "terms and conditions apply see store for details every day " * 3
+    docs = [(i, boiler) for i in range(30)]
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs += [(100, base), (101, base.replace("today", "tomorrow"))]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = {(r.a, r.b) for r in D.minhash_lsh_pairs(df, num_hashes=32, bands=16, shingle_k=3, bucket_cap=10).collect()}
+    assert (100, 101) in capped
+    boiler_pairs = [p for p in capped if p[0] < 100]
+    assert len(boiler_pairs) == 0  # 30-doc mega-bucket excluded, not exploded
+    # sanity: without the cap the mega-bucket yields ~30*29/2 pairs
+    uncapped = D.minhash_lsh_pairs(df, num_hashes=32, bands=16, shingle_k=3, bucket_cap=10**9).count()
+    assert uncapped >= 30 * 29 / 2

@@ -20,7 +20,7 @@ def golden(site_spec):
 
 def test_seen_set_exact(crawl_run, golden):
     plan, _ = crawl_run
-    engine_seen = {r.url_canon for r in plan.catalog.read("seen").collect()}
+    engine_seen = {r.url_canon for r in plan.catalog.read_all("seen").collect()}
     assert engine_seen == golden.seen
 
 

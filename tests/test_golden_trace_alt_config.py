@@ -27,7 +27,7 @@ def alt_runs(spark, site_df, robots_df, seeds_df, site_spec, tmp_path_factory):
 
 def test_alt_seen_set_exact(alt_runs):
     plan, golden = alt_runs
-    engine_seen = {r.url_canon for r in plan.catalog.read("seen").collect()}
+    engine_seen = {r.url_canon for r in plan.catalog.read_all("seen").collect()}
     assert engine_seen == golden.seen
     # with budget 3 × 6 epochs the crawl must NOT have finished — the
     # partial-progress state is what this config exercises

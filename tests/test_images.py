@@ -68,3 +68,80 @@ def test_resize_udf(spark):
     out = df.select(I.make_resize_udf(8, 8)(F.col("blob"), F.col("fmt")).alias("b")).collect()[0].b
     resized = I.decode_png(bytes(out))
     assert resized.shape == (8, 8)
+
+
+# ---------------------------------------------------------------------------
+# S8 SVG branch (ref scrape_shoprite.py:70-93)
+# ---------------------------------------------------------------------------
+
+SVG_DOC = (
+    '<svg xmlns="http://www.w3.org/2000/svg" width="48" height="32">'
+    '<rect x="4" y="4" width="20" height="12" fill="#ff0000"/>'
+    '<circle cx="36" cy="16" r="8" fill="#00ff80"/></svg>'
+).encode()
+
+
+def test_decode_svg_rasterizes_subset():
+    from retailer_scrapers_spark.functions.images import decode_svg
+
+    arr = decode_svg(SVG_DOC)
+    assert arr.shape == (32, 48, 3)
+    assert tuple(arr[10, 10]) == (255, 0, 0)      # inside the rect
+    assert tuple(arr[16, 36]) == (0, 255, 128)    # circle center
+    assert tuple(arr[0, 0]) == (0, 0, 0)          # background
+
+
+def test_svg_to_png_roundtrip_and_sniff():
+    import numpy as np
+
+    from retailer_scrapers_spark.functions.images import decode_image, decode_svg, sniff_svg, svg_to_png
+
+    png = svg_to_png(SVG_DOC)
+    assert np.array_equal(decode_image(png, "png"), decode_svg(SVG_DOC))  # lossless convert
+    assert sniff_svg(SVG_DOC)
+    assert sniff_svg(b'<?xml version="1.0"?>\n<svg width="2" height="2"/>')
+    assert not sniff_svg(png)
+
+
+def test_convert_svg_blobs_dataframe_step(spark):
+    import numpy as np
+
+    from retailer_scrapers_spark.functions.images import (
+        convert_svg_blobs,
+        decode_svg,
+        encode_image,
+        phash64,
+        phash_udf,
+    )
+    from pyspark.sql import functions as F
+
+    img = np.full((8, 8, 3), 200, dtype=np.uint8)
+    rows = [
+        ("svg1", bytearray(SVG_DOC), "svg"),
+        ("png1", bytearray(encode_image(img, "png")), "png"),
+        ("sniffed", bytearray(SVG_DOC), None),  # no declared fmt → content sniff
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = {r.image_id: r for r in convert_svg_blobs(df).collect()}
+    assert out["svg1"].fmt == "png" and out["sniffed"].fmt == "png"
+    assert out["png1"].fmt == "png" and bytes(out["png1"].bytes) == bytes(rows[1][1])
+    # converted blob phashes identically to the rasterized original —
+    # the K3 verify-after-write invariant holds through the convert
+    got = {r.image_id: r.ph for r in convert_svg_blobs(df).withColumn(
+        "ph", phash_udf(F.col("bytes"), F.col("fmt"))).collect()}
+    assert got["svg1"] == phash64(decode_svg(SVG_DOC))
+
+
+def test_convert_svg_blobs_malformed_is_skipped_not_fatal(spark):
+    # reference parity: a failed convert returns False / is skipped
+    # (scrape_shoprite.py:100-102) — a corrupt blob must not kill the job
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"<svg width='8' height='8'><rect x=BROKEN"), "svg"),
+         ("ok", bytearray(SVG_DOC), "svg")],
+        "image_id string, bytes binary, fmt string",
+    )
+    from retailer_scrapers_spark.functions.images import convert_svg_blobs
+
+    out = {r.image_id: r for r in convert_svg_blobs(df).collect()}
+    assert out["bad"].bytes is None
+    assert out["ok"].fmt == "png" and out["ok"].bytes is not None

@@ -1,0 +1,32 @@
+"""R10 — the spark-submit entry point (run_crawl.py), exercised as a real
+subprocess: fresh run + resume on the same workdir (VERDICT r1 #8)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(workdir, epochs):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_crawl.py"),
+         "--workdir", workdir, "--epochs", str(epochs), "--cores", "4"],
+        capture_output=True, text=True, timeout=540, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_run_crawl_cli_and_resume(tmp_path):
+    work = str(tmp_path / "cli")
+    first = _run(work, 2)
+    assert first["resumed_from_epoch"] == 0
+    assert first["epochs_committed"] == [0, 1]
+    assert first["urls_seen"] > 0
+
+    second = _run(work, 4)  # same workdir → resumes at epoch 2
+    assert second["resumed_from_epoch"] == 2
+    assert second["epochs_committed"] == [0, 1, 2, 3]
+    assert second["urls_seen"] >= first["urls_seen"]
