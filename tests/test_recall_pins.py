@@ -82,3 +82,40 @@ def test_minhash_lsh_recall_vs_exact_ngram(spark):
     approx = {(r.a, r.b) for r in Q["minhash_lsh_near_dup"](spark, SF_DIR).collect()}
     assert exact, "exact baseline unexpectedly empty"
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_hll_estimates_within_tolerance(spark):
+    """HLL per-key distinct estimates at sf0.01 must land within ±3% of
+    exact counts (p=12 → ~1.6% standard error)."""
+    got = {r.event_type: r.approx_distinct_users for r in Q["hll_distinct_users"](spark, SF_DIR).collect()}
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] <= 0.03, (k, est, exact[k])
+
+
+def test_tdigest_quantiles_within_rank_tolerance(spark):
+    """t-digest p50/p95 at sf0.01 must sit within ±2 percentile ranks of
+    the exact distribution per key."""
+    from pyspark.sql import functions as F
+
+    got = {r.event_type: (r.p50, r.p95) for r in Q["tdigest_value_quantiles"](spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    bounds = {
+        r.event_type: r.qs
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile("value", F.array(*[F.lit(x) for x in (0.48, 0.52, 0.93, 0.97)])).alias("qs"))
+        .collect()
+    }
+    for k, (p50, p95) in got.items():
+        lo50, hi50, lo95, hi95 = bounds[k]
+        assert lo50 <= p50 <= hi50, (k, "p50", p50, lo50, hi50)
+        assert lo95 <= p95 <= hi95, (k, "p95", p95, lo95, hi95)
