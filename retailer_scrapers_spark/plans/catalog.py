@@ -95,13 +95,59 @@ class SnapshotCatalog:
         this keeps the per-epoch write volume ∝ newly-seen instead of
         rewriting the whole table. ``max_epoch`` makes resume consistent
         when a crash landed between the seen commit and the frontier
-        commit (the seen table may be one epoch ahead)."""
+        commit (the seen table may be one epoch ahead).
+
+        Transparent to :meth:`compact`: if a compacted generation C ≤
+        ``max_epoch`` exists, the read is that single snapshot plus the
+        raw deltas ABOVE it — so a 10^3-epoch crawl reads O(few) files
+        instead of 10^3 directories."""
         eps = self.committed_epochs(table)
+        comp = [c for c in self.committed_epochs(table + "__compacted")
+                if max_epoch is None or c <= max_epoch]
+        parts: list[str] = []
+        if comp:
+            c = comp[-1]
+            parts.append(self._epoch_dir(table + "__compacted", c))
+            eps = [e for e in eps if e > c]
         if max_epoch is not None:
             eps = [e for e in eps if e <= max_epoch]
-        if not eps:
+        parts += [self._epoch_dir(table, e) for e in eps]
+        if not parts:
             return None
-        return self.spark.read.parquet(*[self._epoch_dir(table, e) for e in eps])
+        return self.spark.read.parquet(*parts)
+
+    def compact(self, table: str, through: int | None = None) -> None:
+        """Iceberg-style maintenance for delta-append tables: merge the
+        committed deltas ``<= through`` (plus any previous compacted
+        generation) into ONE snapshot, then drop the raw delta dirs they
+        replace. Crash-safe ordering: the new generation commits first
+        (atomic snapshot write); cleanup of superseded dirs is last and
+        idempotent — a crash in between leaves extra dirs that
+        :meth:`read_all` already ignores.
+
+        Callers must keep ``through`` at or below the oldest epoch any
+        resume can cap at (CrawlPlan uses the frontier's latest
+        committed epoch), else a torn-state resume could need raw
+        deltas this call deletes.
+        """
+        ctable = table + "__compacted"
+        prev = self.latest_epoch(ctable)
+        eps = [e for e in self.committed_epochs(table) if prev is None or e > prev]
+        if through is not None:
+            eps = [e for e in eps if e <= through]
+        if not eps or (prev is None and len(eps) < 2):
+            return  # nothing worth merging
+        parts = ([self._epoch_dir(ctable, prev)] if prev is not None else []) + [
+            self._epoch_dir(table, e) for e in eps
+        ]
+        union = self.spark.read.parquet(*parts)
+        new_gen = eps[-1]
+        self.write(union, ctable, new_gen)
+        # cleanup: superseded raw deltas + older compacted generations
+        for e in eps:
+            shutil.rmtree(self._epoch_dir(table, e), ignore_errors=True)
+        if prev is not None:
+            shutil.rmtree(self._epoch_dir(ctable, prev), ignore_errors=True)
 
     def read_meta(self, table: str, epoch: int | None = None) -> dict | None:
         if epoch is None:

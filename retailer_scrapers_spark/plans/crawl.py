@@ -81,6 +81,10 @@ class CrawlConfig:
     # day). "continuous": per-(host,salt) politeness wait carries across
     # epochs — the batch composition of streaming.stateful (VERDICT r1 #9)
     politeness_mode: str = "epoch"
+    # delta-table maintenance: every N epochs, merge the seen deltas
+    # committed so far into one compacted generation (0 = never). At
+    # 10^3 epochs this keeps read_all("seen") at O(few) files.
+    compact_seen_every: int = 0
     target_rows_per_task: int = 10_000
     default_delay_s: float = 10.0
     base_offsets: dict[str, int] = field(default_factory=lambda: dict(BASE_OFFSETS))
@@ -348,6 +352,18 @@ class CrawlPlan:
             if frontier.isEmpty():
                 break
             frontier, seen, bloom = self.run_epoch(epoch, frontier, seen, bloom)
+            if self.cfg.compact_seen_every and (epoch + 1) % self.cfg.compact_seen_every == 0:
+                self.compact_seen()
+                seen = self.catalog.read_all("seen")
+
+    def compact_seen(self) -> None:
+        """Merge the seen deltas committed through the frontier's latest
+        epoch into one compacted generation. The frontier bound keeps
+        every possible resume (read_all capped at the frontier epoch)
+        satisfiable after the superseded delta dirs are dropped."""
+        last_f = self.catalog.latest_epoch("frontier")
+        if last_f is not None:
+            self.catalog.compact("seen", through=last_f)
 
     # -- products assembly (reference output parity) ------------------------------
     def finalize(self, corpus: DataFrame, existing: DataFrame | None = None) -> DataFrame:

@@ -58,3 +58,35 @@ def test_append_union_replay_idempotent(spark, tmp_path):
     # next epoch unions from the latest STRICTLY EARLIER epoch
     out2 = cat.append_union(spark.range(5, 6).toDF("id"), "t", 2)
     assert sorted(r.id for r in out2.collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_compact_merges_deltas_and_reads_transparently(spark, tmp_path):
+    """Delta-table maintenance: compaction folds committed deltas into
+    one generation; read_all output is unchanged, superseded raw dirs
+    are dropped, and later deltas stack on top."""
+    import os
+
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    for e in range(4):
+        cat.write(spark.range(e * 10, e * 10 + 10).toDF("id"), "t", e)
+    before = sorted(r.id for r in cat.read_all("t").collect())
+    cat.compact("t", through=3)
+    assert sorted(r.id for r in cat.read_all("t").collect()) == before
+    assert not os.path.exists(str(tmp_path / "t" / "epoch=0"))  # raw deltas dropped
+    assert os.path.exists(str(tmp_path / "t__compacted" / "epoch=3"))
+    # new deltas after compaction read on top of the generation
+    cat.write(spark.range(100, 105).toDF("id"), "t", 4)
+    assert sorted(r.id for r in cat.read_all("t").collect()) == before + list(range(100, 105))
+    # second compaction folds the generation + the new delta
+    cat.compact("t", through=4)
+    assert sorted(r.id for r in cat.read_all("t").collect()) == before + list(range(100, 105))
+    assert not os.path.exists(str(tmp_path / "t__compacted" / "epoch=3"))
+
+
+def test_compact_respects_through_and_max_epoch(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    for e in range(4):
+        cat.write(spark.range(e * 10, e * 10 + 10).toDF("id"), "t", e)
+    cat.compact("t", through=2)  # epoch 3 stays a raw delta
+    assert sorted(r.id for r in cat.read_all("t", max_epoch=2).collect()) == list(range(30))
+    assert sorted(r.id for r in cat.read_all("t").collect()) == list(range(40))

@@ -179,3 +179,22 @@ def test_crawl_with_cuckoo_filter_matches_bloom_seen_set(
     seen_bloom = {r.url_canon for r in bloom_plan.catalog.read_all("seen").collect()}
     assert seen_cuckoo == seen_bloom
     assert plan.catalog.read("frontier").isEmpty()
+
+
+def test_compacted_crawl_matches_uncompacted(spark, site_df, robots_df, seeds_df, tmp_path_factory):
+    """compact_seen_every folds seen deltas mid-crawl; the crawl result,
+    final seen set, and a later resume are unaffected."""
+    w1 = str(tmp_path_factory.mktemp("comp_a"))
+    w2 = str(tmp_path_factory.mktemp("comp_b"))
+    CrawlPlan(spark, CrawlConfig(workdir=w1, epochs=10, per_host_budget=6), site_df, robots_df).run(seeds_df)
+    cfg2 = CrawlConfig(workdir=w2, epochs=10, per_host_budget=6, compact_seen_every=2)
+    plan2 = CrawlPlan(spark, cfg2, site_df, robots_df)
+    plan2.run(seeds_df, epochs=4)  # crash after epoch 4 (compactions ran)
+    plan2b = CrawlPlan(spark, cfg2, site_df, robots_df)
+    plan2b.run(seeds_df, epochs=10)  # resume over compacted state
+    s1 = {r.url_canon for r in SnapshotCatalog(w1, spark).read_all("seen").collect()}
+    s2 = {r.url_canon for r in SnapshotCatalog(w2, spark).read_all("seen").collect()}
+    assert s1 == s2
+    import os
+
+    assert os.path.isdir(f"{w2}/seen__compacted")  # maintenance actually ran
