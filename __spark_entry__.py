@@ -665,6 +665,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["politeness_schedule_rows"] = politeness_schedule_rows
 
+    def r1_schedule_arith(spark, sf):
+        # R1 scheduler arithmetic, oracle-checked: a deterministic salt
+        # (o_orderkey % 2) replaces the xxhash64 salt so DuckDB can
+        # reproduce the exact offsets: offset = salt·delay + k·stride,
+        # stride = delay·n_salt, first fetch per (host, salt) waits 0
+        from retailer_scrapers_spark.operators.politeness import politeness_schedule
+
+        orders = _t(spark, sf, "orders").filter(F.col("o_orderkey") <= 4000)
+        frontier = orders.select(
+            F.concat(F.lit("https://h"), (F.col("o_orderkey") % 5).cast("string"), F.lit(".test/o/"),
+                     F.col("o_orderkey").cast("string")).alias("url_canon"),
+            F.concat(F.lit("h"), (F.col("o_orderkey") % 5).cast("string"), F.lit(".test")).alias("host"),
+            F.round("o_totalprice", 2).alias("priority"),
+            F.col("o_orderkey").alias("seq"),
+            F.lit(5.0).alias("crawl_delay_s"),
+            (F.col("o_orderkey") % 2).cast("int").alias("salt"),
+            F.lit(2).alias("n_salt"),
+        )
+        out = politeness_schedule(frontier, epoch_budget_s=1e6)
+        return out.select("url_canon", "host", "salt", "scheduled_offset_ms", "wait_ms", "within_budget")
+
+    q["r1_schedule_arith"] = r1_schedule_arith
+
     def r4_retry_requeue(spark, sf):
         # R4 — retry/backoff split as dataflow (scrape_shoprite.py:387-394)
         from retailer_scrapers_spark.operators.frontier import requeue_failures
@@ -1208,6 +1231,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_custkey, c_name,
                ROW_NUMBER() OVER (ORDER BY c_name) AS seq
         FROM customer
+    """
+
+    o["r1_schedule_arith"] = """
+        WITH f AS (
+          SELECT 'https://h' || (o_orderkey % 5) || '.test/o/' || o_orderkey AS url_canon,
+                 'h' || (o_orderkey % 5) || '.test' AS host,
+                 ROUND(o_totalprice, 2) AS priority,
+                 o_orderkey AS seq,
+                 CAST(o_orderkey % 2 AS INTEGER) AS salt
+          FROM orders WHERE o_orderkey <= 4000
+        ), r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY host, salt ORDER BY priority DESC, seq) - 1 AS k
+          FROM f
+        )
+        SELECT url_canon, host, salt,
+               salt * 5000 + k * 10000 AS scheduled_offset_ms,
+               CASE WHEN k = 0 THEN 0 ELSE 10000 END AS wait_ms,
+               (salt * 5000 + k * 10000) < 1000000000 AS within_budget
+        FROM r
     """
 
     # rows-only (engine-hash / LSH-recall / UDF-pipeline ops):

@@ -12,8 +12,7 @@ the operator's contract, so golden traces can pin it.
 
 from __future__ import annotations
 
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCHED_COLS = "scheduled_offset_ms long, wait_ms long, within_budget boolean"
@@ -82,7 +81,7 @@ def politeness_schedule(
     priority_col: str = "priority",
     seq_col: str = "seq",
 ) -> DataFrame:
-    """R1 — per-(host, salt) grouped-map scheduler with a simulated clock.
+    """R1 — per-(host, salt) window scheduler with a simulated clock.
 
     Within a host, consecutive fetches must be ≥ crawl_delay apart.
     With salting, each salt group runs a stride of ``delay × n_salt``
@@ -117,25 +116,27 @@ def politeness_schedule(
         selected = selected.withColumn(delay_col, F.coalesce(F.col(delay_col), F.lit(default_delay_s)))
     else:
         selected = selected.withColumn(delay_col, F.lit(default_delay_s))
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in selected.schema.fields)
-    out_schema = f"{out_schema}, {SCHED_COLS}"
     budget_ms = int(epoch_budget_s * 1000)
 
-    def schedule_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([priority_col, seq_col], ascending=[False, True], kind="mergesort")
-        delay_ms = int(float(pdf[delay_col].iloc[0]) * 1000)
-        n_salt = max(int(pdf[n_salt_col].iloc[0]), 1)
-        salt = int(pdf[salt_col].iloc[0]) if n_salt > 1 else 0
-        carry = int(pdf["carry_ms"].iloc[0])
-        stride = delay_ms * n_salt
-        base = carry + salt * delay_ms
-        k = pd.RangeIndex(len(pdf)).to_numpy()
-        offset = base + k * stride
-        pdf = pdf.assign(
-            scheduled_offset_ms=offset,
-            wait_ms=[carry] + [stride] * (len(pdf) - 1),
-            within_budget=offset < budget_ms,
-        )
-        return pdf
-
-    return selected.groupBy(host_col, salt_col).applyInPandas(schedule_group, out_schema)
+    # Pure window arithmetic — 100% JVM-side (an earlier version was a
+    # grouped-map pandas UDF; this was the last Python stage in the
+    # frontier hot path, ~1/3 of the bench's schedule_sec). Per
+    # (host, salt) the rows share delay/n_salt/carry (one robots row +
+    # one state row per group), so per-row columns equal the group's
+    # constants:
+    #   k       = rank by (priority desc, seq asc) − 1
+    #   stride  = delay · n_salt          (salts interleave the host's clock)
+    #   offset  = carry + salt·delay + k·stride
+    #   wait    = carry for the group's first fetch, stride after
+    w = Window.partitionBy(host_col, salt_col).orderBy(F.col(priority_col).desc(), F.col(seq_col).asc())
+    k = F.row_number().over(w) - 1
+    delay_ms = (F.col(delay_col) * 1000).cast("long")
+    n_salt = F.greatest(F.col(n_salt_col), F.lit(1)).cast("long")
+    salt = F.when(n_salt > 1, F.col(salt_col).cast("long")).otherwise(F.lit(0))
+    stride = delay_ms * n_salt
+    offset = F.col("carry_ms") + salt * delay_ms + k * stride
+    return (
+        selected.withColumn("scheduled_offset_ms", offset)
+        .withColumn("wait_ms", F.when(k == 0, F.col("carry_ms")).otherwise(stride))
+        .withColumn("within_budget", offset < F.lit(budget_ms))
+    )

@@ -85,3 +85,21 @@ def test_whole_stage_codegen_in_parsers(spark, site_df):
     assert "Generate posexplode" in plan  # the 1→N record fan-out (S3)
     codegen = plan_of(q, mode="codegen")
     assert "WholeStageCodegen subtrees" in codegen
+
+
+def test_politeness_schedule_fully_jvm_side(spark):
+    """R1 is pure window arithmetic: no Python/pandas eval node in the
+    plan, and the row-level window is partitioned by (host, salt)."""
+    from pyspark.sql import functions as F
+
+    from retailer_scrapers_spark.operators.politeness import politeness_schedule
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string")).alias("host"),
+        F.lit(1.0).alias("priority"),
+        F.col("id").alias("seq"),
+        F.lit(5.0).alias("crawl_delay_s"),
+    )
+    plan = politeness_schedule(df, 100.0)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan and "EvalPython" not in plan
+    assert "windowspecdefinition(host" in plan  # partitioned, not global
