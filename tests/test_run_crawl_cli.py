@@ -9,10 +9,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(workdir, epochs):
+def _run(workdir, epochs, *extra):
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "run_crawl.py"),
-         "--workdir", workdir, "--epochs", str(epochs), "--cores", "4"],
+         "--workdir", workdir, "--epochs", str(epochs), "--cores", "4", *extra],
         capture_output=True, text=True, timeout=540, cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]
@@ -30,3 +30,15 @@ def test_run_crawl_cli_and_resume(tmp_path):
     assert second["resumed_from_epoch"] == 2
     assert second["epochs_committed"] == [0, 1, 2, 3]
     assert second["urls_seen"] >= first["urls_seen"]
+
+
+def test_run_crawl_cli_mode_flags(tmp_path):
+    """--politeness-mode/--filter-kind/--compact-seen-every reach the
+    CrawlConfig: the run checkpoints sched_state, a cuckoo filter blob,
+    and a compacted seen generation."""
+    work = str(tmp_path / "cli_flags")
+    out = _run(work, 2, "--politeness-mode", "continuous",
+               "--filter-kind", "cuckoo", "--compact-seen-every", "1")
+    assert out["epochs_committed"] == [0, 1]
+    assert os.path.isdir(f"{work}/sched_state")
+    assert os.path.isdir(f"{work}/seen__compacted")
