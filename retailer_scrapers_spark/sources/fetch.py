@@ -11,7 +11,7 @@ output contract — everything downstream is unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -51,11 +51,32 @@ def fetch_pages(scheduled: DataFrame, site: DataFrame) -> DataFrame:
 def stamp_fetch_seq(fetched: DataFrame) -> DataFrame:
     """Global deterministic fetch order (SURVEY.md §2.9 serialization):
     rank by (scheduled time, host, seq) — a TOTAL order so golden traces
-    reproduce under any parallelism. The window is global (single
-    reduce) but only over the epoch's selected fetch set (bounded by
-    per-host budgets), never the whole frontier."""
-    w = Window.orderBy(F.col("scheduled_offset_ms").asc(), F.col("host").asc(), F.col("seq").asc())
-    return fetched.withColumn("fetch_seq", F.row_number().over(w).cast("long"))
+    reproduce under any parallelism.
+
+    Distributed: the composite key packs into ONE lexicographically
+    faithful string (zero-padded offset ∥ host ∥ '!' ∥ zero-padded seq —
+    '!' sorts below every legal host character, so prefix hosts order
+    exactly like the bare string comparison) and the rank comes from
+    ``global_sequence``'s prefix-block prefix-sum. With this, NO stage
+    of the epoch loop funnels rows through a single-partition sort —
+    not even the (politeness-bounded) per-epoch fetch set.
+    """
+    from retailer_scrapers_spark.operators.frontier import global_sequence
+
+    key = F.concat(
+        F.lpad(F.col("scheduled_offset_ms").cast("string"), 19, "0"),
+        F.col("host"),
+        F.lit("!"),
+        F.lpad(F.col("seq").cast("string"), 19, "0"),
+    )
+    stamped = global_sequence(
+        fetched.withColumn("__fetch_key", key),
+        order_col="__fetch_key",
+        out_col="fetch_seq",
+        prefix_len=30,
+        coarse_len=19,
+    )
+    return stamped.drop("__fetch_key")
 
 
 def fetch_images(products: DataFrame, corpus: DataFrame, image_id_col: str = "image_id") -> DataFrame:
