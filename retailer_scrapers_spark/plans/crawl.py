@@ -212,20 +212,23 @@ class CrawlPlan:
         log_parts.append(retry.select("url_canon", "host", "attempt").withColumn("result", F.lit("retry")))
         log_parts.append(dropped.select("url_canon", "host", "attempt").withColumn("result", F.lit("dropped")))
 
-        # stage parsed outputs (assembled in finalize)
+        # stage parsed outputs as per-epoch DELTAS (assembled in finalize
+        # via read_all): write volume ∝ this epoch's parses, never a
+        # rewrite of the accumulated table, and epoch replay is an
+        # idempotent overwrite of the same deterministic snapshot
         kinds = {r[0] for r in ok.select("payload_kind").distinct().collect()}
         if "html" in kinds:
-            self.catalog.append_union(parse_html_products(ok.filter(F.col("payload_kind") == "html")), "staged_html", epoch)
+            self.catalog.write(parse_html_products(ok.filter(F.col("payload_kind") == "html")), "staged_html", epoch)
         if "json_heavy_attrs" in kinds:
-            self.catalog.append_union(parse_heavy_attrs(ok.filter(F.col("payload_kind") == "json_heavy_attrs")), "staged_heavy", epoch)
+            self.catalog.write(parse_heavy_attrs(ok.filter(F.col("payload_kind") == "json_heavy_attrs")), "staged_heavy", epoch)
         if "json_pnp" in kinds:
-            self.catalog.append_union(parse_pnp_products(ok.filter(F.col("payload_kind") == "json_pnp")), "staged_pnp", epoch)
+            self.catalog.write(parse_pnp_products(ok.filter(F.col("payload_kind") == "json_pnp")), "staged_pnp", epoch)
         if "json_wool" in kinds:
-            self.catalog.append_union(
+            self.catalog.write(
                 parse_wool_products(ok.filter(F.col("payload_kind") == "json_wool")).drop("total_recs"), "staged_wool", epoch
             )
         if "json_offer" in kinds:
-            self.catalog.append_union(parse_offer_sentence(ok.filter(F.col("payload_kind") == "json_offer")), "staged_offer", epoch)
+            self.catalog.write(parse_offer_sentence(ok.filter(F.col("payload_kind") == "json_offer")), "staged_offer", epoch)
 
         # seen' = seen ∪ attempted-to-completion (ok + dropped); retries stay
         # unseen. newly_seen ⊆ unseen so the union is disjoint by
@@ -374,8 +377,8 @@ class CrawlPlan:
         spark = self.spark
         parts: list[DataFrame] = []
 
-        html = cat.read("staged_html")
-        heavy = cat.read("staged_heavy")
+        html = cat.read_all("staged_html")
+        heavy = cat.read_all("staged_heavy")
         if html is not None:
             if heavy is not None:
                 from retailer_scrapers_spark.operators.joins import zip_join
@@ -398,14 +401,14 @@ class CrawlPlan:
             parts.append(enriched.select("host", "page", "category", "pos", "name", "price",
                                          "promotion_price", "promotion_valid", "image_url", "image_id"))
 
-        pnp = cat.read("staged_pnp")
+        pnp = cat.read_all("staged_pnp")
         if pnp is not None:
             parts.append(pnp.select("host", "page", "category", "pos", "name", "price",
                                     "promotion_price", "promotion_valid", "image_url", "image_id"))
 
-        wool = cat.read("staged_wool")
+        wool = cat.read_all("staged_wool")
         if wool is not None:
-            offer = cat.read("staged_offer")
+            offer = cat.read_all("staged_offer")
             offer_val = (offer.collect()[0][0] if offer is not None and not offer.isEmpty() else " ")
             wool = wool.withColumn("promotion_valid", F.lit(offer_val))
             parts.append(wool.select("host", "page", "category", "pos", "name", "price",

@@ -156,7 +156,7 @@ def test_epoch_replay_does_not_duplicate_staged_rows(
 
     cat1, cat2 = SnapshotCatalog(w1, spark), SnapshotCatalog(w2, spark)
     for table in ("staged_html", "staged_heavy", "staged_pnp", "staged_wool"):
-        t1, t2 = cat1.read(table), cat2.read(table)
+        t1, t2 = cat1.read_all(table), cat2.read_all(table)
         if t1 is None:
             assert t2 is None, table
             continue
