@@ -118,3 +118,27 @@ def test_global_sequence_no_row_level_global_sort(spark):
         # ordered column comes second; an unpartitioned one starts with
         # 'url_canon ASC' directly
         assert "ASC" not in m.group(1), f"unpartitioned row_number in plan: {m.group(0)}"
+
+
+def test_global_sequence_property_random_strings(spark):
+    """Property: for ANY set of distinct strings (including empties,
+    prefix chains, unicode, separators), global_sequence == the naive
+    global rank — across prefix lengths that chop mid-string."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="ab/.!0é", min_size=0, max_size=12),
+            min_size=1, max_size=40, unique=True,
+        ),
+        st.integers(min_value=1, max_value=10),
+    )
+    def check(strings, plen):
+        df = spark.createDataFrame([(s,) for s in strings], "url_canon string")
+        out = {r.url_canon: r.seq for r in FR.global_sequence(
+            df, "url_canon", "seq", prefix_len=plen, coarse_len=max(plen // 2, 1)
+        ).collect()}
+        assert out == _naive_rank(strings)
+
+    check()
