@@ -22,10 +22,34 @@ Determinism: every ``keep='first'`` becomes a total-order window
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from retailer_scrapers_spark.functions.prices import NO_PROMO
+
+
+def _unpersist_when_collected(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Release ``cached`` when the caller drops ``result``.
+
+    Operators that persist an intermediate (e.g. the exploded shingle
+    table) would otherwise leak cache blocks for the lifetime of the
+    SparkContext in long-lived drivers. A weakref finalizer ties the
+    cache's lifetime to the returned DataFrame handle: once the caller
+    has consumed and released the result, the blocks are freed. Callers
+    holding the result across many actions keep the cache (correct —
+    recomputation would be the expensive path).
+    """
+
+    def _release(cached_jdf=cached) -> None:
+        try:
+            cached_jdf.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped
+
+    weakref.finalize(result, _release)
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -133,9 +157,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     Output identical to the naive form; at a corpus where most docs are
     unique, shuffle volume drops from O(total text) to O(dup text).
+
+    NULL text is a first-class key: the group key coalesces
+    ``length(text)`` to -1 (xxhash64(NULL) is already the non-null
+    seed), so null-text rows survive the inner equi-join and dedup to
+    one winner — matching the window form, where partitionBy groups
+    nulls together.
     """
     h = F.xxhash64(F.col(text_col)).alias("__h")
-    ln = F.length(F.col(text_col)).alias("__len")
+    ln = F.coalesce(F.length(F.col(text_col)), F.lit(-1)).alias("__len")
     keyed = df.select("*", h, ln)
     counts = keyed.groupBy("__h", "__len").agg(F.count(F.lit(1)).alias("__n"))
     keyed = keyed.join(counts, ["__h", "__len"])
@@ -322,8 +352,10 @@ def ngram_jaccard_pairs(
         )
     else:
         inter = F.col("__rinter")
-    return (
+    out = (
         scored.withColumn("jaccard", inter / (F.col("sz_a") + F.col("sz_b") - inter))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.col("jaccard").cast("double").alias("jaccard"))
     )
+    # cache lifetime = result lifetime (no leak across a long session)
+    return _unpersist_when_collected(out, sh)

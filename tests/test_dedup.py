@@ -75,6 +75,35 @@ def test_exact_dedup(spark):
     assert got == [1, 3]
 
 
+def test_exact_dedup_null_text(spark):
+    # ADVICE r2 (medium): null text is a legal key — the suspect join must
+    # not drop it. Two null-text rows dedup to the lowest id, like the
+    # window form where partitionBy groups nulls together.
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None), (5, "other")],
+        "doc_id long, text string",
+    )
+    got = sorted(r.doc_id for r in D.exact_dedup(df).collect())
+    assert got == [1, 3, 5]
+
+
+def test_ngram_jaccard_releases_shingle_cache(spark):
+    # ADVICE r2: the persisted shingle table must not leak for the session
+    # lifetime — it is released when the result handle is dropped.
+    import gc
+
+    df = spark.createDataFrame(
+        [(1, "one two three four"), (2, "one two three four")], "doc_id long, text string"
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = D.ngram_jaccard_pairs(df, n=2, threshold=0.9)
+    assert out.count() == 1
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > before  # cache live while held
+    del out
+    gc.collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
 def test_minhash_estimates_jaccard(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     near = base.replace("today", "tomorrow")
