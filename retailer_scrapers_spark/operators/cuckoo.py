@@ -317,6 +317,11 @@ def insert_into_cuckoo(filt: SlicedCuckoo, df, url_col: str = "url_canon") -> Sl
                     {"slice_id": pa.array(ids, type=pa.int32()), "blob": pa.array(blobs, type=pa.binary())}
                 )
 
-    rows = joined.mapInArrow(upd, "slice_id int, blob binary").collect()
+    try:
+        rows = joined.mapInArrow(upd, "slice_id int, blob binary").collect()
+    except Exception as e:  # executor-side overflow arrives wrapped in a PythonException
+        if "cuckoo filter over capacity" in str(e):
+            raise RuntimeError("cuckoo filter over capacity") from e
+        raise
     updated = {r.slice_id: CuckooFilter.deserialize(bytes(r.blob)) for r in rows}
     return SlicedCuckoo([updated.get(i, filt.slices[i]) for i in range(n_slices)])

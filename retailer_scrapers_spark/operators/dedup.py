@@ -22,34 +22,11 @@ Determinism: every ``keep='first'`` becomes a total-order window
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from retailer_scrapers_spark.functions.prices import NO_PROMO
-
-
-def _unpersist_when_collected(result: DataFrame, cached: DataFrame) -> DataFrame:
-    """Release ``cached`` when the caller drops ``result``.
-
-    Operators that persist an intermediate (e.g. the exploded shingle
-    table) would otherwise leak cache blocks for the lifetime of the
-    SparkContext in long-lived drivers. A weakref finalizer ties the
-    cache's lifetime to the returned DataFrame handle: once the caller
-    has consumed and released the result, the blocks are freed. Callers
-    holding the result across many actions keep the cache (correct —
-    recomputation would be the expensive path).
-    """
-
-    def _release(cached_jdf=cached) -> None:
-        try:
-            cached_jdf.unpersist(blocking=False)
-        except Exception:
-            pass  # session already stopped
-
-    weakref.finalize(result, _release)
-    return result
+from retailer_scrapers_spark.operators.caching import unpersist_when_collected
 
 
 # ---------------------------------------------------------------------------
@@ -358,4 +335,4 @@ def ngram_jaccard_pairs(
         .select("a", "b", F.col("jaccard").cast("double").alias("jaccard"))
     )
     # cache lifetime = result lifetime (no leak across a long session)
-    return _unpersist_when_collected(out, sh)
+    return unpersist_when_collected(out, sh)

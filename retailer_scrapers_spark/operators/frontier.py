@@ -91,6 +91,8 @@ def global_sequence(
     start: int = 0,
     prefix_len: int = 40,
     coarse_len: int = 12,
+    block_cap: int = 4_000_000,
+    max_prefix_len: int = 320,
 ) -> DataFrame:
     """Global ``row_number()`` over ``order_col`` WITHOUT a
     single-partition sort — the scalable form of
@@ -119,16 +121,41 @@ def global_sequence(
     for R8 resume parity. Output is identical to the window form when
     ``order_col`` values are unique; ties receive arbitrary but
     count-correct ranks (same caveat as the window form).
+
+    ADVICE r2: a FIXED ``prefix_len`` collapses step 1 into one
+    partition when the data shares common prefixes longer than it
+    (one dominant host with deep category paths). The fine length is
+    therefore derived from the data, deterministically: block sizes at
+    ``prefix_len`` are aggregated (the step-2 table, computed anyway
+    and persisted); while any block exceeds ``block_cap`` the prefix
+    doubles, up to ``max_prefix_len``. The common case pays one tiny
+    MAX over the block table; only genuinely prefix-degenerate inputs
+    pay re-aggregation rounds. No sampling — the chosen length is a
+    pure function of the input, so resume/replay parity holds.
     """
+    from retailer_scrapers_spark.operators.caching import unpersist_when_collected
+
     o = F.col(order_col)
-    tagged = df.withColumn("__gk", F.substring(o, 1, prefix_len)).withColumn(
-        "__ck", F.substring(o, 1, coarse_len)
-    )
+
+    def tag(fine_len: int):
+        t = df.withColumn("__gk", F.substring(o, 1, fine_len)).withColumn(
+            "__ck", F.substring(o, 1, coarse_len)
+        )
+        return t, t.groupBy("__ck", "__gk").agg(F.count(F.lit(1)).alias("__n")).persist()
+
+    fine_len = prefix_len
+    tagged, sizes = tag(fine_len)
+    while fine_len < max_prefix_len:
+        mx = sizes.agg(F.max("__n")).collect()[0][0] or 0
+        if mx <= block_cap:
+            break
+        sizes.unpersist(blocking=False)
+        fine_len = min(2 * fine_len, max_prefix_len)
+        tagged, sizes = tag(fine_len)
     # 1. in-block rank (parallel: partitioned by the fine prefix)
     w_in = Window.partitionBy("__gk").orderBy(o.asc())
     ranked = tagged.withColumn("__in", F.row_number().over(w_in))
     # 2. fine-block sizes → running offset within the coarse block
-    sizes = tagged.groupBy("__ck", "__gk").agg(F.count(F.lit(1)).alias("__n"))
     w_fine = Window.partitionBy("__ck").orderBy(F.col("__gk").asc()).rowsBetween(Window.unboundedPreceding, -1)
     fine_off = sizes.withColumn("__fine_off", F.coalesce(F.sum("__n").over(w_fine), F.lit(0)))
     # 3. coarse-block sizes → global offsets (rows = #coarse blocks, tiny)
@@ -138,11 +165,14 @@ def global_sequence(
     offs = fine_off.join(coarse_off, "__ck").select(
         "__gk", (F.col("__fine_off") + F.col("__coff")).alias("__off")
     )
-    return (
+    out = (
         ranked.join(offs, "__gk")
         .withColumn(out_col, (F.lit(start) + F.col("__off") + F.col("__in")).cast("long"))
         .drop("__gk", "__ck", "__in", "__off")
     )
+    # the block-size cache feeds both the sizing probe and the offsets;
+    # release it with the result handle
+    return unpersist_when_collected(out, sizes)
 
 
 def assign_global_indexes(

@@ -61,6 +61,7 @@ def phash_near_dup_pairs(
     phash_col: str = "phash",
     id_col: str = "image_id",
     n_bands: int = 4,
+    bucket_cap: int = 2000,
 ) -> DataFrame:
     """Near-duplicate IMAGES by perceptual hash: (a, b, hamming) pairs
     with hamming(phash_a, phash_b) ≤ ``max_hamming``.
@@ -71,6 +72,13 @@ def phash_near_dup_pairs(
     and high for ≤ 6) — the image-space analogue of MinHash banding, and
     the same shuffle shape: join on (band_idx, band_value), never O(n²).
     Verification is exact via ``bit_count(xor)`` (JVM-side).
+
+    Buckets holding more than ``bucket_cap`` images are EXCLUDED from
+    candidate generation (VERDICT r2 #4): a degenerate corpus (flat or
+    constant-background images sharing a band value) otherwise puts n
+    rows on one join key → n² pairs in a single task. True near-dups
+    collide in several of the ``n_bands`` independent bands, so recall
+    is lost only for pairs whose EVERY matching band is degenerate.
     """
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
@@ -86,6 +94,13 @@ def phash_near_dup_pairs(
     banded = df.select(F.col(id_col), F.col(phash_col), F.explode(bands).alias("b")).select(
         id_col, phash_col, F.col("b.band"), F.col("b.val")
     )
+    small = (
+        banded.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= bucket_cap)
+        .select("band", "val")
+    )
+    banded = banded.join(small, ["band", "val"])
     left = banded.select(F.col(id_col).alias("a"), F.col(phash_col).alias("ph_a"), "band", "val")
     right = banded.select(F.col(id_col).alias("b"), F.col(phash_col).alias("ph_b"), "band", "val")
     return (
@@ -231,6 +246,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     seed: int = 42,
     n_tables: int = 1,
+    bucket_cap: int = 2000,
 ) -> DataFrame:
     """Near-duplicate (a, b, cosine) pairs with cosine ≥ threshold.
 
@@ -245,6 +261,12 @@ def embedding_near_dup_pairs(
     p ≈ 0.51 per table → 4 tables give ≈ 0.94 recall. A recall
     pytest pins this against planted duplicates (the oracle can't —
     LSH bucket membership is engine-specific).
+
+    Buckets holding more than ``bucket_cap`` vectors are EXCLUDED from
+    candidate generation (VERDICT r2 #4): a near-constant-embedding
+    corpus otherwise funnels n rows into one (table, bucket) key → n²
+    pairs in a single task. With ``n_tables`` independent plane sets, a
+    true pair is only lost if its bucket is degenerate in EVERY table.
     """
     first = df.select(F.col(vec_col)).first()
     if first is None:
@@ -265,6 +287,13 @@ def embedding_near_dup_pairs(
         F.explode(tables).alias("tb"),
         _norm(F.col(vec_col)).alias("nrm"),
     ).select(id_col, vec_col, F.col("tb.tbl"), F.col("tb.bucket"), "nrm")
+    small = (
+        sig.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= bucket_cap)
+        .select("tbl", "bucket")
+    )
+    sig = sig.join(small, ["tbl", "bucket"])
     left = sig.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "tbl", "bucket", F.col("nrm").alias("na"))
     right = sig.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "tbl", "bucket", F.col("nrm").alias("nb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda a, x: a + x)

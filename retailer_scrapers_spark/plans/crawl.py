@@ -252,6 +252,22 @@ class CrawlPlan:
                 F.lit(epoch + 1).alias("discovered_epoch"),
             )
         )
+        # only `discovered` can self-collide (the same link found on many
+        # pages); the other four frontier' inputs are pairwise disjoint by
+        # construction (backlog = unseen∖selected, deferred = outside
+        # window, overflow ⊂ selected∖runnable, retry ⊂ runnable, and
+        # discovered is anti-joined against the whole frontier). Dedup the
+        # DELTA, deterministically (highest priority, then url), instead
+        # of shuffling the entire 10^10-row frontier every epoch
+        # (VERDICT r2 #3).
+        from pyspark.sql import Window
+
+        w_dup = Window.partitionBy("url_canon").orderBy(F.col("priority").desc(), F.col("url").asc())
+        discovered = (
+            discovered.withColumn("__rn", F.row_number().over(w_dup))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         # seq continues from the frontier's max, stamped by the
         # distributed prefix-sum (no single-partition discovery sort)
         discovered = global_sequence(discovered, "url_canon", "seq", start=max_seq)
@@ -263,7 +279,6 @@ class CrawlPlan:
             .unionByName(overflow.select(*frontier_cols))
             .unionByName(retry_f)
             .unionByName(discovered)
-            .dropDuplicates(["url_canon"])
         )
 
         # lineage + per-host metrics
@@ -301,7 +316,17 @@ class CrawlPlan:
                     n_slices=cfg.bloom_slices,
                 )
             else:
-                bloom_next = insert_into_cuckoo(bloom, newly_seen.toDF("url_canon"))
+                try:
+                    bloom_next = insert_into_cuckoo(bloom, newly_seen.toDF("url_canon"))
+                except RuntimeError:
+                    # ADVICE r2: aggregate headroom can't rule out a
+                    # SKEWED slice hitting the kick limit — fall back to
+                    # the full rebuild at doubled capacity
+                    bloom_next = build_cuckoo(
+                        seen_next.toDF("url_canon"),
+                        capacity=max(cfg.bloom_bits, 2 * (bloom.n_items + n_new)),
+                        n_slices=cfg.bloom_slices,
+                    )
             bloom_df = self.spark.createDataFrame(
                 [(0, bytearray(bloom_next.serialize()), bloom_next.n_items, 0, 0, bloom_next.n_slices)],
                 SEEN_FILTER_STATE,
@@ -465,6 +490,11 @@ class CrawlPlan:
             "phash_ok",
             F.when(F.col("bytes").isNotNull(), phash_udf(F.col("bytes"), F.col("fmt")) == F.col("phash_expected")).otherwise(F.lit(None)),
         )
+        # three consumers follow (mismatch count, images sink, products
+        # assembly) — pin the decoded blobs so the corpus join + SVG
+        # convert + phash UDF (the most expensive stage at 100 TB) runs
+        # ONCE, not per action (VERDICT r2 #2)
+        imaged = imaged.persist()
         # K3 verify-after-write: only blobs whose recomputed phash matches
         # the corpus phash enter the sink (the reference re-verifies each
         # upload, scrape_shoprite.py:104-117); mismatches are counted.
@@ -472,11 +502,17 @@ class CrawlPlan:
         images_sink = imaged.filter(F.col("bytes").isNotNull() & F.col("phash_ok")).select(
             "image_id", "bytes", "w", "h", "fmt", F.col("caption"), F.col("phash_expected").alias("phash")
         )
-        prev_images = cat.read("images")
-        if prev_images is not None:  # D7 — exists-check as anti-join (idempotent)
-            images_sink = images_sink.join(prev_images.select("image_id"), "image_id", "left_anti")
         epoch_for_write = cat.latest_epoch("frontier") or 0
-        cat.append_union(images_sink, "images", epoch_for_write)
+        # D7 — exists-check against every delta committed BEFORE this
+        # epoch (excluding this epoch's own delta keeps finalize-replay
+        # idempotent: the re-run recomputes the same delta and overwrites)
+        prev_images = cat.read_all("images", max_epoch=epoch_for_write - 1)
+        if prev_images is not None:
+            images_sink = images_sink.join(prev_images.select("image_id"), "image_id", "left_anti")
+        # DELTA-append (VERDICT r2 #5): the snapshot holds only this
+        # finalize's new images; readers union deltas via read_all — the
+        # blob column (the 100 TB column) is never rewritten.
+        cat.write(images_sink, "images", epoch_for_write)
         cat.write(
             self.spark.createDataFrame([(epoch_for_write, n_phash_bad)], "epoch int, n_phash_mismatch long"),
             "image_verify",
@@ -512,4 +548,5 @@ class CrawlPlan:
         deduped = dedup_keep_promo(repaired, ("name", "price"))
 
         cat.write(deduped, "products", epoch_for_write)
+        imaged.unpersist()
         return cat.read("products")

@@ -83,6 +83,35 @@ def test_compact_merges_deltas_and_reads_transparently(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "t__compacted" / "epoch=3"))
 
 
+def test_images_delta_write_volume(spark, tmp_path):
+    """VERDICT r2 #5: the images table (the 100 TB blob column) is
+    delta-appended — a finalize adding 5 new images writes bytes ∝ 5
+    blobs, never a rewrite of the accumulated table."""
+
+    def dir_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(p) for f in fs
+        )
+
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    day1 = spark.createDataFrame(
+        [(f"i{i}", bytearray(os.urandom(4000))) for i in range(50)], "image_id string, bytes binary"
+    )
+    cat.write(day1, "images", 0)
+    # day 2: 5 new images + 50 re-fetched ones, anti-joined like finalize
+    day2 = spark.createDataFrame(
+        [(f"i{i}", bytearray(os.urandom(4000))) for i in range(45, 55)], "image_id string, bytes binary"
+    )
+    prev = cat.read_all("images", max_epoch=0)
+    delta = day2.join(prev.select("image_id"), "image_id", "left_anti")
+    cat.write(delta, "images", 1)
+    assert cat.read("images", 1).count() == 5
+    assert cat.read_all("images").count() == 55
+    s0 = dir_bytes(str(tmp_path / "images" / "epoch=0"))
+    s1 = dir_bytes(str(tmp_path / "images" / "epoch=1"))
+    assert s1 < s0 / 2  # delta bytes ∝ new blobs, not the full table
+
+
 def test_compact_respects_through_and_max_epoch(spark, tmp_path):
     cat = SnapshotCatalog(str(tmp_path), spark)
     for e in range(4):

@@ -82,7 +82,7 @@ def test_image_invariants_phash_caption_psnr(crawl_run, corpus_pdf):
     """input_hint: decoded-pixel allclose (PSNR ≥ 40 dB lossy), byte-exact
     caption equality, phash parity vs the corpus."""
     plan, _ = crawl_run
-    images = plan.catalog.read("images").toPandas()
+    images = plan.catalog.read_all("images").toPandas()
     assert len(images) > 200
     corpus = corpus_pdf.set_index("image_id")
     for _, row in images.sample(60, random_state=42).iterrows():

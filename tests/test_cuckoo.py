@@ -68,6 +68,43 @@ def test_distributed_sliced_build_and_probe(spark):
     assert out == sorted(f"https://f.test/{i}" for i in range(700))
 
 
+def test_insert_overflow_raises_runtimeerror_on_driver(spark):
+    """ADVICE r2: a slice overflowing inside the Arrow task surfaces on
+    the driver as the documented RuntimeError (not a raw PythonException),
+    so the epoch loop's rebuild fallback can catch it."""
+    from retailer_scrapers_spark.operators.cuckoo import build_cuckoo, insert_into_cuckoo
+
+    small = build_cuckoo(
+        spark.createDataFrame([("https://h.test/x",)], "url_canon string"), capacity=64, n_slices=2
+    )
+    flood = spark.createDataFrame([(f"https://h.test/f/{i}",) for i in range(500)], "url_canon string")
+    with pytest.raises(RuntimeError, match="over capacity"):
+        insert_into_cuckoo(small, flood)
+
+
+def test_epoch_loop_rebuilds_on_slice_overflow(spark, site_df, robots_df, seeds_df, monkeypatch, tmp_path_factory):
+    """The crawl must survive a skewed-slice overflow that the aggregate
+    headroom check could not predict: insert_into_cuckoo raising
+    RuntimeError falls back to a doubled-capacity rebuild."""
+    from retailer_scrapers_spark.operators import cuckoo as C
+    from retailer_scrapers_spark.plans import crawl as crawl_mod
+    from retailer_scrapers_spark.plans.crawl import CrawlConfig, CrawlPlan
+
+    calls = {"n": 0}
+
+    def always_overflow(filt, df, url_col="url_canon"):
+        calls["n"] += 1
+        raise RuntimeError("cuckoo filter over capacity")
+
+    monkeypatch.setattr(C, "insert_into_cuckoo", always_overflow)
+    work = str(tmp_path_factory.mktemp("cuckoo_overflow"))
+    cfg = CrawlConfig(workdir=work, epochs=3, per_host_budget=6, filter_kind="cuckoo", bloom_bits=1 << 14)
+    plan = CrawlPlan(spark, cfg, site_df, robots_df)
+    plan.run(seeds_df, epochs=3)  # must not raise
+    assert calls["n"] >= 1  # the insert path was attempted and failed over
+    assert plan.catalog.latest_epoch("frontier") == 2
+
+
 def test_insert_into_cuckoo_delta(spark):
     """VERDICT r1 #5: per-epoch delta insert instead of full rebuild —
     inserted keys become members (no false negatives), untouched slices

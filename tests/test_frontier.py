@@ -120,6 +120,25 @@ def test_global_sequence_no_row_level_global_sort(spark):
         assert "ASC" not in m.group(1), f"unpartitioned row_number in plan: {m.group(0)}"
 
 
+def test_global_sequence_adaptive_prefix_on_degenerate_input(spark):
+    """ADVICE r2: URLs sharing a common prefix LONGER than prefix_len
+    must not collapse step 1 into one partition — the fine length is
+    derived from the data (doubles past the shared prefix), and the
+    result still equals the naive global rank."""
+    shared = "https://megastore.test/category/household/cleaning/detergents/"  # 63 chars
+    urls = [f"{shared}item-{i:05d}" for i in range(300)] + ["https://tiny.test/a"]
+    df = spark.createDataFrame([(u,) for u in urls], "url_canon string").repartition(7)
+    out = FR.global_sequence(df, "url_canon", "seq", prefix_len=40, coarse_len=12, block_cap=50)
+    got = {r.url_canon: r.seq for r in out.collect()}
+    assert got == _naive_rank(urls)
+    # the adapted fine key (substring len > 40) actually reached the plan
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"substring\(url_canon#\d+, 1, 80\)", plan)
+    assert not re.search(r"substring\(url_canon#\d+, 1, 40\)", plan)
+
+
 def test_global_sequence_property_random_strings(spark):
     """Property: for ANY set of distinct strings (including empties,
     prefix chains, unicode, separators), global_sequence == the naive

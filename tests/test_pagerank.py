@@ -36,3 +36,22 @@ def test_pagerank_matches_numpy(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
     # hub 'c' outranks everything
     assert got["c"] == max(got.values())
+
+
+def test_pagerank_no_localcheckpoint_and_no_cache_leak(spark):
+    """VERDICT r2 #6: the lineage cut is a persist/unpersist chain (no
+    row-serializing localCheckpoint), and all caches are released once
+    the caller drops the result."""
+    import gc
+    import inspect
+
+    from retailer_scrapers_spark.operators import pagerank as PR
+
+    assert "localCheckpoint" not in inspect.getsource(PR)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame([("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string")
+    out = pagerank(df, iterations=5)
+    assert abs(sum(r.rank for r in out.collect()) - 1.0) < 1e-6
+    del out
+    gc.collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before

@@ -87,6 +87,36 @@ def test_whole_stage_codegen_in_parsers(spark, site_df):
     assert "WholeStageCodegen subtrees" in codegen
 
 
+def test_frontier_next_has_no_full_frontier_dedup(spark, site_df, robots_df, seeds_df, tmp_path_factory):
+    """VERDICT r2 #3: frontier' must not dropDuplicates the whole union —
+    only the `discovered` delta can self-collide, so the dedup (a scoped
+    row_number window) happens before the union and no Deduplicate node
+    (the frontier-sized aggregate) appears anywhere in the plan."""
+    from retailer_scrapers_spark.plans.catalog import SnapshotCatalog
+    from retailer_scrapers_spark.plans.crawl import CrawlConfig, CrawlPlan
+
+    captured = {}
+    orig_write = SnapshotCatalog.write
+
+    def spy_write(self, df, table, epoch, meta=None):
+        if table == "frontier":
+            captured["frontier"] = df
+        return orig_write(self, df, table, epoch, meta)
+
+    work = str(tmp_path_factory.mktemp("plan_frontier"))
+    plan = CrawlPlan(spark, CrawlConfig(workdir=work, epochs=1), site_df, robots_df)
+    SnapshotCatalog.write, saved = spy_write, SnapshotCatalog.write
+    try:
+        plan.run(seeds_df, epochs=1)
+    finally:
+        SnapshotCatalog.write = saved
+    assert "frontier" in captured
+    optimized = captured["frontier"]._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" not in optimized
+    # the discovered-scoped dedup window exists and is keyed by url_canon
+    assert "row_number()" in optimized
+
+
 def test_politeness_schedule_fully_jvm_side(spark):
     """R1 is pure window arithmetic: no Python/pandas eval node in the
     plan, and the row-level window is partitioned by (host, salt)."""

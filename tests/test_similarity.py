@@ -64,6 +64,47 @@ def test_embedding_near_dup_pairs(spark):
         assert a < b and c >= 0.98
 
 
+def test_embedding_near_dup_bucket_cap_bounds_pairs(spark):
+    """VERDICT r2 #4: a near-constant-embedding corpus funnels into one
+    (table, bucket) key; with bucket_cap below the corpus size no
+    quadratic pair set is generated, while a distinct planted dup pair
+    in a small bucket survives."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16).astype(np.float32)
+    # 40 near-identical vectors (the degenerate mega-bucket)
+    vecs = [base + 1e-4 * rng.standard_normal(16).astype(np.float32) for _ in range(40)]
+    # a planted pair pointing the OTHER way (its own small bucket)
+    other = -base + 0.3 * rng.standard_normal(16).astype(np.float32)
+    vecs += [other, other * 2.0]
+    df = _df(spark, np.array(vecs))
+    capped = {(r.a, r.b) for r in S.embedding_near_dup_pairs(df, threshold=0.95, n_tables=2, bucket_cap=10).collect()}
+    assert (40, 41) in capped                       # planted pair survives
+    assert all(a >= 40 for a, _ in capped)          # mega-bucket excluded, not exploded
+    uncapped = S.embedding_near_dup_pairs(df, threshold=0.95, n_tables=2, bucket_cap=10**9).count()
+    assert uncapped >= 40 * 39 / 2                  # sanity: the cap is what bounded it
+
+
+def test_phash_near_dup_bucket_cap_bounds_pairs(spark):
+    """Same cap for the image banded join: 30 identical-phash images
+    (flat corpus) are excluded from candidate gen; a distinct lossy twin
+    pair in small buckets survives."""
+    from retailer_scrapers_spark.functions.images import phash64
+    from retailer_scrapers_spark.operators.similarity import phash_near_dup_pairs
+
+    rng = np.random.default_rng(9)
+    flat = phash64(np.full((32, 32), 128, dtype=np.uint8))
+    rows = [(f"flat_{i}", flat) for i in range(30)]
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    twin_hash = phash64(img)
+    rows += [("twin_a", twin_hash), ("twin_b", twin_hash ^ 0b11)]  # hamming 2
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    capped = {(r.a, r.b) for r in phash_near_dup_pairs(df, max_hamming=6, bucket_cap=10).collect()}
+    assert ("twin_a", "twin_b") in capped
+    assert all(not a.startswith("flat") for a, _ in capped)
+    uncapped = phash_near_dup_pairs(df, max_hamming=6, bucket_cap=10**9).count()
+    assert uncapped >= 30 * 29 / 2
+
+
 def test_phash_near_dup_pairs(spark):
     """Image near-dup via banded phash hamming join: lossy re-encodes of
     the same image pair up; distinct images don't."""
