@@ -690,6 +690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def r4_retry_requeue(spark, sf):
         # R4 — retry/backoff split as dataflow (scrape_shoprite.py:387-394)
+        # with PER-HOST budgets: even keys cap at 3 (Shoprite/PnP), odd
+        # keys retry forever (Woolworths, scrape_woolworths.py:80-111)
         from retailer_scrapers_spark.operators.frontier import requeue_failures
 
         orders = _t(spark, sf, "orders")
@@ -698,8 +700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.when(F.col("o_orderkey") % 7 == 0, F.lit(503)).otherwise(F.lit(200)).alias("status"),
             (F.col("o_orderkey") % 3).cast("int").alias("attempt"),
             F.lit(1.0).alias("priority"),
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit(3)).otherwise(F.lit(-1)).cast("int").alias("max_attempts"),
         )
-        ok, retry, dropped = requeue_failures(fetched)
+        ok, retry, dropped = requeue_failures(fetched, max_attempts_col="max_attempts")
         return (
             ok.select("url_canon", F.lit("ok").alias("outcome"), F.col("attempt"), F.round("priority", 2).alias("priority"))
             .unionByName(retry.select("url_canon", F.lit("retry").alias("outcome"), "attempt", F.round("priority", 2).alias("priority")))
@@ -1189,7 +1192,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'https://s.test/o/' || o_orderkey AS url_canon,
                  CASE WHEN o_orderkey % 7 = 0 THEN 503 ELSE 200 END AS status,
                  CAST(o_orderkey % 3 AS INTEGER) AS attempt,
-                 1.0 AS priority
+                 1.0 AS priority,
+                 CASE WHEN o_orderkey % 2 = 0 THEN 3 ELSE -1 END AS cap
           FROM orders
         )
         SELECT url_canon, 'ok' AS outcome, attempt, ROUND(priority, 2) AS priority
@@ -1197,10 +1201,10 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT url_canon, 'retry' AS outcome, attempt + 1 AS attempt,
                ROUND(priority - POW(2, attempt + 1), 2) AS priority
-        FROM fetched WHERE status >= 500 AND attempt + 1 < 3
+        FROM fetched WHERE status >= 500 AND (cap < 0 OR attempt + 1 < cap)
         UNION ALL
         SELECT url_canon, 'dropped' AS outcome, attempt, ROUND(priority, 2) AS priority
-        FROM fetched WHERE status >= 500 AND attempt + 1 >= 3
+        FROM fetched WHERE status >= 500 AND cap >= 0 AND attempt + 1 >= cap
     """
 
     o["o4_bucket_listing"] = """

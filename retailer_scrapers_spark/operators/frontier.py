@@ -61,26 +61,40 @@ def requeue_failures(
     attempt_col: str = "attempt",
     priority_col: str = "priority",
     max_attempts: int = MAX_ATTEMPTS,
+    max_attempts_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """R4 — retry with backoff as dataflow: split fetch results into
 
     (ok, retry, dropped):
     - ok:     status < 500
-    - retry:  failed with attempt+1 < max → re-emitted to the next
+    - retry:  failed with attempt+1 < cap → re-emitted to the next
               epoch's frontier with ``attempt+1`` and the reference's
               exponential backoff (sleep(2**retries),
               scrape_shoprite.py:387-394) re-expressed as a priority
               penalty of 2**attempt (later epochs = later fetch).
     - dropped: failed at the attempt cap.
+
+    Per-host budgets (VERDICT r2 #8): the reference retries pages 3×
+    for Shoprite/PnP but WITHOUT LIMIT for Woolworths
+    (scrape_woolworths.py:80-111). Pass ``max_attempts_col`` naming an
+    int column (joined from robots/config) to override the scalar cap
+    per row; NULL falls back to ``max_attempts``, and a NEGATIVE cap
+    means retry forever (the Woolworths semantics).
     """
+    cap = (
+        F.coalesce(F.col(max_attempts_col), F.lit(max_attempts))
+        if max_attempts_col is not None
+        else F.lit(max_attempts)
+    )
+    within_cap = (cap < 0) | (F.col(attempt_col) + 1 < cap)
     failed = fetched.filter(F.col(status_col) >= 500)
     ok = fetched.filter((F.col(status_col) < 500) | F.col(status_col).isNull())
     retry = (
-        failed.filter(F.col(attempt_col) + 1 < max_attempts)
+        failed.filter(within_cap)
         .withColumn(attempt_col, F.col(attempt_col) + 1)
         .withColumn(priority_col, F.col(priority_col) - F.pow(F.lit(2.0), F.col(attempt_col)))
     )
-    dropped = failed.filter(F.col(attempt_col) + 1 >= max_attempts)
+    dropped = failed.filter(~within_cap)
     return ok, retry, dropped
 
 

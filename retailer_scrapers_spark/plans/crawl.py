@@ -205,7 +205,17 @@ class CrawlPlan:
             self.catalog.write(cur_state.filter(F.col("carry_ms") > 0), "sched_state", epoch)
 
         fetched = pin(stamp_fetch_seq(fetch_pages(runnable, self.site)))
-        ok, retry, dropped = requeue_failures(fetched)
+        # R4 with per-host budgets: an optional robots `max_attempts`
+        # column overrides the scalar cap (reference: 3× for
+        # Shoprite/PnP, unlimited for Woolworths — scrape_woolworths.py:80-111)
+        if "max_attempts" in self.robots.columns:
+            budgets = self.robots.select("host", "max_attempts")
+            ok, retry, dropped = requeue_failures(
+                fetched.join(F.broadcast(budgets), "host", "left"), max_attempts_col="max_attempts"
+            )
+            ok, retry, dropped = (d.drop("max_attempts") for d in (ok, retry, dropped))
+        else:
+            ok, retry, dropped = requeue_failures(fetched)
         log_parts.append(
             ok.select("url_canon", "host", "attempt").withColumn("result", F.lit("ok"))
         )

@@ -13,27 +13,50 @@ the probe entirely.
 
 from __future__ import annotations
 
+import codecs
 import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 
-def detect_csv_encoding(path: str, probe_bytes: int = 1 << 20) -> str:
-    """utf-8 unless any file's leading bytes fail strict UTF-8 decode —
-    then latin1 (which never fails), mirroring the reference's retry."""
+def detect_csv_encoding(
+    path: str, probe_bytes: int = 1 << 20, full_probe_cap: int = 1 << 28
+) -> str:
+    """utf-8 unless a strict UTF-8 decode fails — then latin1 (which
+    never fails), mirroring the reference's retry.
+
+    Files up to ``full_probe_cap`` (256 MB) are stream-decoded in FULL,
+    exactly like the reference's whole-file ``read_csv`` attempt — a
+    latin1 byte anywhere in the file triggers the fallback (ADVICE r2:
+    the old 1 MB probe misclassified late bytes). Larger files probe
+    only the leading ``probe_bytes``, a documented approximation: at
+    that size pass ``encoding=`` explicitly. A multi-byte char split at
+    a chunk or probe boundary is carried by the incremental decoder —
+    never misread as evidence of latin1; at the probe limit the read
+    extends a few bytes to settle any split char.
+    """
     files = sorted(glob.glob(os.path.join(path, "*.csv"))) if os.path.isdir(path) else [path]
     for f in files:
         size = os.path.getsize(f)
-        with open(f, "rb") as fh:
-            chunk = fh.read(probe_bytes)
+        limit = size if size <= full_probe_cap else probe_bytes
+        dec = codecs.getincrementaldecoder("utf-8")()
+        read = 0
         try:
-            chunk.decode("utf-8")
-        except UnicodeDecodeError as e:
-            # a multi-byte char truncated at the probe boundary is not
-            # evidence of latin1 — only errors inside the chunk count
-            if size > len(chunk) and e.start >= len(chunk) - 3:
-                continue
+            with open(f, "rb") as fh:
+                while read < limit:
+                    chunk = fh.read(min(1 << 20, limit - read))
+                    if not chunk:
+                        break
+                    read += len(chunk)
+                    dec.decode(chunk, final=False)
+                if read >= size:
+                    dec.decode(b"", final=True)  # truncated char at EOF = invalid
+                else:
+                    # probe-limited: extend past the boundary so a split
+                    # multi-byte char can complete (or prove invalid)
+                    dec.decode(fh.read(8), final=False)
+        except UnicodeDecodeError:
             return "latin1"
     return "utf-8"
 

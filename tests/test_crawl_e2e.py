@@ -181,6 +181,23 @@ def test_crawl_with_cuckoo_filter_matches_bloom_seen_set(
     assert plan.catalog.read("frontier").isEmpty()
 
 
+def test_crawl_with_per_host_retry_budgets(spark, site_df, robots_df, seeds_df, crawl_run, tmp_path_factory):
+    """A robots `max_attempts` column routes through the epoch loop
+    (R4 per-host budgets). With unlimited budgets everywhere (-1) the
+    synthetic site's transient 5xx pages still drain to the identical
+    seen set (they succeed on retry before any cap could bind)."""
+    robots2 = robots_df.withColumn("max_attempts", F.lit(-1).cast("int"))
+    work = str(tmp_path_factory.mktemp("crawl_budget"))
+    cfg = CrawlConfig(workdir=work, epochs=10, per_host_budget=8)
+    plan = CrawlPlan(spark, cfg, site_df, robots2)
+    plan.run(seeds_df)
+    baseline_plan, _ = crawl_run
+    seen_b = {r.url_canon for r in plan.catalog.read_all("seen").collect()}
+    seen_a = {r.url_canon for r in baseline_plan.catalog.read_all("seen").collect()}
+    assert seen_b == seen_a
+    assert plan.catalog.read("frontier").isEmpty()
+
+
 def test_compacted_crawl_matches_uncompacted(spark, site_df, robots_df, seeds_df, tmp_path_factory):
     """compact_seen_every folds seen deltas mid-crawl; the crawl result,
     final seen set, and a later resume are unaffected."""

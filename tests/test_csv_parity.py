@@ -51,6 +51,35 @@ def test_latin1_fallback_read(spark, tmp_path):
     assert read_products_csv(spark, str(utf)).collect()[0].name == "Café Crème"
 
 
+def test_encoding_probe_covers_whole_file_and_boundaries(tmp_path):
+    """ADVICE r2: (a) a latin1 byte AFTER the old 1 MB probe window must
+    still flip the fallback (the reference decodes whole files); (b) a
+    multi-byte char split exactly at a chunk/probe boundary is not
+    evidence of latin1; (c) past the full-probe cap, the probe extends a
+    few bytes so a split char at the limit settles cleanly."""
+    from retailer_scrapers_spark.sources.csv_io import detect_csv_encoding
+
+    # (a) latin1 byte at offset ~2 MB, past any 1 MB window
+    late = tmp_path / "late.csv"
+    late.write_bytes(b"name,price\n" + b"a,1\n" * 500_000 + "Café,9\n".encode("latin1"))
+    assert detect_csv_encoding(str(late)) == "latin1"
+
+    # (b) 'é' (2 bytes) straddling the 1 MiB chunk boundary of a valid utf-8 file
+    straddle = tmp_path / "straddle.csv"
+    pad = b"x" * ((1 << 20) - 1)
+    straddle.write_bytes(pad + "é".encode("utf-8") + b",ok\n")
+    assert detect_csv_encoding(str(straddle)) == "utf-8"
+
+    # (c) probe-limited file: split char AT the limit → extended and accepted;
+    #     a genuinely invalid byte inside the window → latin1
+    capped = tmp_path / "capped.csv"
+    capped.write_bytes(pad + "é".encode("utf-8") + b"y" * 64)
+    assert detect_csv_encoding(str(capped), probe_bytes=1 << 20, full_probe_cap=100) == "utf-8"
+    bad = tmp_path / "bad_in_window.csv"
+    bad.write_bytes(b"abc\xe9def" + b"z" * 200)
+    assert detect_csv_encoding(str(bad), probe_bytes=64, full_probe_cap=100) == "latin1"
+
+
 def test_csv_nan_fill_matches_reference(spark, tmp_path):
     # reference load_existing_data: NaN cells → ' ' (scrape_shoprite.py:452-456)
     from retailer_scrapers_spark.sources.csv_io import read_products_csv

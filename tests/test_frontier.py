@@ -36,6 +36,29 @@ def test_requeue_failures(spark):
     assert [x.url_canon for x in dropped.collect()] == ["c"]
 
 
+def test_requeue_failures_per_host_budget(spark):
+    """VERDICT r2 #8: per-host retry budgets — the reference retries 3×
+    for Shoprite/PnP but FOREVER for Woolworths (scrape_woolworths.py:
+    80-111). cap=-1 → retried at any attempt; NULL cap → scalar default;
+    cap=1 → dropped immediately."""
+    df = spark.createDataFrame(
+        [
+            (503, 99, 1.0, "wool", -1),    # unlimited: still retried at attempt 99
+            (503, 2, 1.0, "shop", 3),      # at cap → dropped
+            (503, 1, 1.0, "shop2", 3),     # under cap → retried
+            (503, 0, 1.0, "strict", 1),    # cap 1 → dropped on first failure
+            (503, 2, 1.0, "nullcap", None),  # falls back to default (3) → dropped
+            (200, 0, 1.0, "fine", 3),
+        ],
+        "status int, attempt int, priority double, url_canon string, max_attempts int",
+    )
+    ok, retry, dropped = FR.requeue_failures(df, max_attempts_col="max_attempts")
+    assert {r.url_canon for r in ok.collect()} == {"fine"}
+    got_retry = {r.url_canon: r.attempt for r in retry.collect()}
+    assert got_retry == {"wool": 100, "shop2": 2}
+    assert {r.url_canon for r in dropped.collect()} == {"shop", "strict", "nullcap"}
+
+
 def test_assign_global_indexes(spark):
     df = spark.createDataFrame(
         [("Shoprite", 0, 1), ("Shoprite", 0, 0), ("Shoprite", 1, 0), ("Checkers", 0, 0)],
