@@ -307,6 +307,16 @@ class CrawlPlan:
             .withColumn("epoch", F.lit(epoch))
         )
         self.catalog.write(metrics, "metrics", epoch)
+        # mergeable sketch metrics (VERDICT r2 #7), checkpointed per epoch
+        # like the membership filters: per-host HLL of touched URLs +
+        # t-digest of politeness waits; cross-epoch rollup = pure fold
+        # over the committed deltas (plans/metrics.py)
+        from retailer_scrapers_spark.plans.metrics import SKETCH_SCHEMA, epoch_sketch_rows
+
+        sketch_rows = epoch_sketch_rows(events, fetched.select("host", "wait_ms"), epoch)
+        self.catalog.write(
+            self.spark.createDataFrame(sketch_rows, SKETCH_SCHEMA), "metrics_sketches", epoch
+        )
 
         # membership-filter state (north_rule "Bloom/cuckoo"): both kinds
         # now do O(delta) work per epoch — bloom builds a delta filter and

@@ -337,9 +337,11 @@ def build_corpus(spec: SiteSpec | None = None) -> pd.DataFrame:
     return pd.DataFrame(rows).drop_duplicates("image_id").reset_index(drop=True)
 
 
-def build_seeds() -> pd.DataFrame:
+def build_seeds(spec: "SiteSpec | None" = None) -> pd.DataFrame:
     """Raw (messy) seed URLs: mixed-case hosts, fragments, tracking params,
-    unsorted query keys — exercises F8 canonicalization."""
+    unsorted query keys — exercises F8 canonicalization. Woolworths gets
+    one seed per category of ``spec`` (default: the 3 test-scale ones)."""
+    categories = spec.categories if spec is not None else WOOL_CATEGORIES
     return pd.DataFrame(
         [
             {
@@ -367,7 +369,7 @@ def build_seeds() -> pd.DataFrame:
                     "retailer": "Woolworths",
                     "priority": 1.0,
                 }
-                for cat in WOOL_CATEGORIES
+                for cat in categories
             ],
             {
                 "url": "https://woolworths.test/cat/DailyDifference",
