@@ -22,6 +22,7 @@ Vector math uses built-in higher-order functions (``zip_with`` +
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -116,6 +117,37 @@ def phash_near_dup_pairs(
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_ids_udf(planes_per_table: list[np.ndarray]):
+    """Arrow-vectorized bucket ids for ALL tables in one pass.
+
+    The pure-expression form (`_bucket_bits`) expands to n_tables ×
+    n_planes dot-product `aggregate` expressions per row — measured ~4×
+    slower at 8×4 than one batched matmul. This is the documented
+    exception to "stay JVM-side": a dense numeric kernel where one
+    Arrow batch `(n, dim) @ (dim, n_planes)` replaces 32 interpreted
+    higher-order functions. Sign-at-zero ties resolve identically for
+    the scale-invariant planted-duplicate pins (recall tests)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    stacked = [p.astype(np.float64) for p in planes_per_table]
+
+    @pandas_udf("array<long>")
+    def bucket_ids(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        cols = []
+        for planes in stacked:
+            bits = (m @ planes.T) >= 0  # (n, n_planes)
+            weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+            cols.append((bits.astype(np.int64) * weights).sum(axis=1))
+        out = np.stack(cols, axis=1)  # (n, n_tables)
+        return pd.Series(list(out))
+
+    return bucket_ids
 
 
 def _bucket_bits(vec_col: Column, planes: np.ndarray) -> Column:
@@ -272,21 +304,14 @@ def embedding_near_dup_pairs(
     if first is None:
         return df.sparkSession.createDataFrame([], "a long, b long, cosine double")
     dim = len(first[0])
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _bucket_bits(F.col(vec_col), _hyperplanes(dim, n_planes, seed + 1000 * t)).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
+    # all tables' buckets in ONE Arrow matmul batch (see _bucket_ids_udf)
+    buckets = _bucket_ids_udf([_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)])
     sig = df.select(
         F.col(id_col),
         F.col(vec_col),
-        F.explode(tables).alias("tb"),
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
         _norm(F.col(vec_col)).alias("nrm"),
-    ).select(id_col, vec_col, F.col("tb.tbl"), F.col("tb.bucket"), "nrm")
+    )
     small = (
         sig.groupBy("tbl", "bucket")
         .agg(F.count(F.lit(1)).alias("__bn"))

@@ -208,14 +208,23 @@ class CrawlPlan:
         # R4 with per-host budgets: an optional robots `max_attempts`
         # column overrides the scalar cap (reference: 3× for
         # Shoprite/PnP, unlimited for Woolworths — scrape_woolworths.py:80-111)
+        from retailer_scrapers_spark.operators.frontier import MAX_ATTEMPTS
+
         if "max_attempts" in self.robots.columns:
             budgets = self.robots.select("host", "max_attempts")
-            ok, retry, dropped = requeue_failures(
-                fetched.join(F.broadcast(budgets), "host", "left"), max_attempts_col="max_attempts"
-            )
-            ok, retry, dropped = (d.drop("max_attempts") for d in (ok, retry, dropped))
+            fetched_c = fetched.join(F.broadcast(budgets), "host", "left")
         else:
-            ok, retry, dropped = requeue_failures(fetched)
+            fetched_c = fetched.withColumn("max_attempts", F.lit(None).cast("int"))
+        ok, retry, dropped = requeue_failures(fetched_c, max_attempts_col="max_attempts")
+        ok, retry, dropped = (d.drop("max_attempts") for d in (ok, retry, dropped))
+        # the reference-trace label for a failed fetch is its FATE
+        # ("retry" under the cap, "dropped" at it), not a bare "error"
+        cap = F.coalesce(F.col("max_attempts"), F.lit(MAX_ATTEMPTS))
+        fetch_result = (
+            F.when((F.col("status") < 500) | F.col("status").isNull(), F.lit("ok"))
+            .when((cap < 0) | (F.col("attempt") + 1 < cap), F.lit("retry"))
+            .otherwise(F.lit("dropped"))
+        )
         log_parts.append(
             ok.select("url_canon", "host", "attempt").withColumn("result", F.lit("ok"))
         )
@@ -292,9 +301,9 @@ class CrawlPlan:
         )
 
         # lineage + per-host metrics
-        fetch_log = fetched.select(
+        fetch_log = fetched_c.select(
             "url_canon", "host", F.lit(epoch).alias("epoch"), "fetch_seq", "status",
-            F.when(F.col("status") >= 500, F.lit("error")).otherwise(F.lit("ok")).alias("result"),
+            fetch_result.alias("result"),
             "attempt", F.spark_partition_id().alias("partition_id"), "wait_ms", "scheduled_offset_ms",
         )
         self.catalog.write(fetch_log, "fetch_log", epoch)

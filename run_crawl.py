@@ -78,6 +78,19 @@ def main() -> None:
     metrics = plan.catalog.read("metrics")
     if metrics is not None:
         summary["last_epoch_metrics"] = [r.asDict() for r in metrics.collect()]
+    # cross-epoch sketch rollup (per-host HLL distinct URLs + wait percentiles)
+    from retailer_scrapers_spark.plans.metrics import merged_sketches
+
+    sk = merged_sketches(plan.catalog)
+    if sk["hll_urls"]:
+        summary["distinct_urls_touched_est"] = {
+            h: round(s.estimate(), 1) for h, s in sorted(sk["hll_urls"].items())
+        }
+    if sk["tdigest_wait_ms"]:
+        summary["wait_ms_p50_p95"] = {
+            h: [round(t.quantile(0.5), 1), round(t.quantile(0.95), 1)]
+            for h, t in sorted(sk["tdigest_wait_ms"].items())
+        }
     print(json.dumps(summary, default=str))
     spark.stop()
 

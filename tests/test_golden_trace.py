@@ -31,11 +31,8 @@ def test_crawl_ordering_exact(crawl_run, golden):
     cat = plan.catalog
     frames = [cat.read("fetch_log", ep).toPandas() for ep in cat.committed_epochs("fetch_log")]
     engine = pd.concat(frames, ignore_index=True)
-
-    def norm_result(row):
-        return {"error": "retry" if row["attempt"] + 1 < 3 else "dropped"}.get(row["result"], row["result"])
-
-    engine["result"] = engine.apply(norm_result, axis=1)
+    # result labels compare RAW: the engine's fetch_log emits the
+    # reference's own ok/retry/dropped fates (no translation shim)
     engine = engine.sort_values(["epoch", "fetch_seq"]).reset_index(drop=True)
     ref = pd.DataFrame(golden.trace).sort_values(["epoch", "fetch_seq"]).reset_index(drop=True)
 
