@@ -140,11 +140,21 @@ def bpe_ish_token_count(text: Column) -> Column:
 def fingerprint(text: Column, ngram: int = 8) -> Column:
     """64-bit document fingerprint: min of xxhash64 over character
     ``ngram``-shingles of the lowercased text (winnowing's min-sampling
-    over a rolling window, computed with built-in ops via sliding
-    substrings through ``sequence`` + ``transform`` — no UDF)."""
-    lowered = F.lower(text)
-    n = F.greatest(F.length(lowered) - ngram + 1, F.lit(1))
-    starts = F.sequence(F.lit(1), n)
-    shingles = F.transform(starts, lambda i: F.substring(lowered, i, ngram))
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-    return F.array_min(hashes).cast("long")
+    over a rolling window, built-in ops only — no UDF).
+
+    Shape: the obvious ``transform(sequence(...), i ->
+    substring(lowered, i, n))`` form lets CollapseProject inline the
+    ``lower(text)`` INTO the per-position lambda — O(len²) work per
+    document (same pathology as dedup._shingles, bench r3). Instead the
+    char array is zip-folded across ``ngram`` shifted copies: zip_with
+    evaluates its array arguments once per row, so lowering costs O(k)
+    evaluations. ``concat_ws('')`` skips zip_with's null padding, which
+    reproduces the truncated tail shingle of short texts exactly."""
+    chars = F.split(F.lower(text), "")
+    big = 1 << 30
+    acc = chars
+    for j in range(1, ngram):
+        acc = F.zip_with(acc, F.slice(chars, j + 1, big), lambda a, b: F.concat_ws("", a, b))
+    n = F.greatest(F.size(chars) - (ngram - 1), F.lit(1))
+    shingles = F.slice(acc, 1, n)
+    return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s))).cast("long")
