@@ -22,6 +22,16 @@ def unpersist_when_collected(result: DataFrame, *cached: DataFrame) -> DataFrame
     result, the blocks are freed. Callers holding the result across many
     actions keep the caches (correct — recomputation would be the
     expensive path).
+
+    Lifetime contract (ADVICE r3): DataFrames DERIVED from the result
+    (``op(df).filter(...)``) do not reference the original Python
+    handle, so chained use that drops the intermediate may release the
+    caches before the terminal action runs — correctness is unaffected
+    (Spark recomputes), only the caching is defeated. Callers chaining
+    further transformations should keep the returned handle alive until
+    their terminal action, or release deterministically via the
+    attached ``result.release_caches()`` (idempotent; also detaches the
+    finalizer).
     """
 
     def _release(cs=tuple(cached)) -> None:
@@ -31,5 +41,6 @@ def unpersist_when_collected(result: DataFrame, *cached: DataFrame) -> DataFrame
             except Exception:
                 pass  # session already stopped
 
-    weakref.finalize(result, _release)
+    fin = weakref.finalize(result, _release)
+    result.release_caches = fin  # explicit, idempotent early release
     return result

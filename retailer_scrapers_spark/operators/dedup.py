@@ -91,9 +91,18 @@ def repair_duplicate_indexes(
     (``order_cols``, ``id_col``) — a total order, reproducible under
     any parallelism (§2.9).
 
-    Scale shape: the global window runs over the DUPES-ONLY subset
-    (duplicated ids are rare repairs, not the common case — bounded).
+    Scale shape (VERDICT r3 next #7): the resequencing runs through
+    ``global_sequence`` — the three-level distributed prefix-sum — on a
+    single lexicographically order-preserving packed key, so there is
+    NO single-partition global window even when the duplicate subset is
+    large. String order columns are \\x00-terminated (field-wise order
+    == concatenated order); integral columns are zero-padded to fixed
+    width (valid for the reference's non-negative ids/prices). Any
+    other column type falls back to the bounded dupes-only global
+    window.
     """
+    from retailer_scrapers_spark.operators.frontier import global_sequence
+
     w_cnt = Window.partitionBy(id_col)
     marked = df.withColumn("__cnt", F.count(F.lit(1)).over(w_cnt))
     keep = marked.filter(F.col("__cnt") == 1).drop("__cnt")
@@ -104,12 +113,32 @@ def repair_duplicate_indexes(
     base = keep.agg(
         F.greatest(F.coalesce(F.max(F.col(id_col)), F.lit(floor_value)), F.lit(floor_value)).alias("m")
     )
-    w_seq = Window.orderBy(*[F.col(c).asc() for c in order_cols], F.col(id_col).asc())
-    reassigned = (
-        dupes.crossJoin(F.broadcast(base))
-        .withColumn(id_col, F.row_number().over(w_seq) + F.col("m"))
-        .drop("m")
-    )
+
+    dtypes = dict(df.dtypes)
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    key_cols = (*order_cols, id_col)
+    if all(dtypes[c] == "string" or dtypes[c] in integral for c in key_cols):
+        parts = []
+        for c in key_cols:
+            col = F.col(c)
+            if dtypes[c] == "string":
+                parts.append(F.concat(F.coalesce(col, F.lit("")), F.lit("\x00")))
+            else:
+                parts.append(F.concat(F.lpad(col.cast("string"), 20, "0"), F.lit("\x00")))
+        packed = dupes.withColumn("__ord", F.concat(*parts))
+        reassigned = (
+            global_sequence(packed, order_col="__ord", out_col="__seq", start=0)
+            .crossJoin(F.broadcast(base))
+            .withColumn(id_col, F.col("__seq") + F.col("m"))
+            .drop("m", "__ord", "__seq")
+        )
+    else:
+        w_seq = Window.orderBy(*[F.col(c).asc() for c in order_cols], F.col(id_col).asc())
+        reassigned = (
+            dupes.crossJoin(F.broadcast(base))
+            .withColumn(id_col, F.row_number().over(w_seq) + F.col("m"))
+            .drop("m")
+        )
     return keep.unionByName(reassigned)
 
 
@@ -205,19 +234,23 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
-    bucket_cap: int = 2000,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs: band the signature (rows=num_hashes/bands),
     hash each band to a bucket key, self-join on (band, bucket).
 
     Scale shape: the self-join is an equi-join on the band key →
-    hash-partitioned shuffle, never an O(n²) cross product. Buckets
-    holding more than ``bucket_cap`` docs are EXCLUDED from candidate
-    generation (VERDICT r1 #3): a boilerplate-heavy corpus otherwise
-    puts n docs in one bucket → n² pairs in a single task. True
-    near-dups collide in MANY of the ``bands`` independent buckets, so
-    dropping the few mega-buckets costs recall only for docs whose
-    every matching band is boilerplate-degenerate.
+    hash-partitioned shuffle, never an O(n²) cross product. When
+    ``bucket_cap`` is set, buckets holding more than that many docs are
+    EXCLUDED from candidate generation (VERDICT r1 #3): a
+    boilerplate-heavy corpus otherwise puts n docs in one bucket → n²
+    pairs in a single task. True near-dups collide in MANY of the
+    ``bands`` independent buckets, so dropping the few mega-buckets
+    costs recall only for docs whose every matching band is
+    boilerplate-degenerate. The cap is OPT-IN (default None: exact
+    candidate set) and never silent — every action over the result
+    reports ``excluded_buckets`` / ``excluded_rows`` observed metrics
+    (ADVICE r3: no-silent-caps).
 
     Returns (a, b) id pairs with a < b and their estimated Jaccard
     (fraction of matching signature positions).
@@ -234,23 +267,29 @@ def minhash_lsh_pairs(
             ])
         ).alias("bb"),
     ).select(id_col, "minhash", "bb.band", "bb.bucket")
-    small = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("__bn"))
-        .filter(F.col("__bn") <= bucket_cap)
-        .select("band", "bucket")
-    )
-    banded = banded.join(small, ["band", "bucket"])
+    if bucket_cap is not None:
+        counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bn"))
+        counts = counts.observe(
+            "minhash_lsh_bucket_cap",
+            F.sum((F.col("__bn") > bucket_cap).cast("long")).alias("excluded_buckets"),
+            F.sum(F.when(F.col("__bn") > bucket_cap, F.col("__bn")).otherwise(0)).alias("excluded_rows"),
+        )
+        small = counts.filter(F.col("__bn") <= bucket_cap).select("band", "bucket")
+        banded = banded.join(small, ["band", "bucket"])
     left = banded.select(F.col(id_col).alias("a"), F.col("minhash").alias("sig_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("b"), F.col("minhash").alias("sig_b"), "band", "bucket")
-    pairs = (
+    # compute the 8-byte estimate BEFORE the pair-dedup exchange so the
+    # dropDuplicates shuffle carries (a, b, est) instead of both 32-long
+    # signature arrays (~512 B/row → ~60× less exchange payload; VERDICT
+    # r3 #5 / next #6). est is deterministic per (a, b), so whichever
+    # banded occurrence dedup keeps, the value is identical.
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)) / F.lit(num_hashes)
+    return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        .select("a", "b", est.cast("double").alias("est_jaccard"))
         .dropDuplicates(["a", "b"])
     )
-    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)) / F.lit(num_hashes)
-    return pairs.select("a", "b", est.cast("double").alias("est_jaccard"))
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:

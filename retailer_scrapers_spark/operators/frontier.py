@@ -31,6 +31,33 @@ def topk_per_host(
     )
 
 
+def split_topk_per_host(
+    df: DataFrame,
+    per_host_budget: int,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    seq_col: str = "seq",
+    pin=None,
+) -> tuple[DataFrame, DataFrame]:
+    """R6 split form — ``(selected, backlog)`` from ONE ranked pass.
+
+    The window already ranks every row; the backlog is simply
+    ``rank > budget``, so deriving it as a second filter over the same
+    (pinned) ranked frame costs zero extra shuffles. The previous
+    ``unseen LEFT ANTI selected`` complement re-shuffled the entire
+    (at scale, 10^10-row) unseen set on ``url_canon`` once per epoch
+    (VERDICT r3 #2). ``pin`` persists the ranked frame so both filters
+    read one materialization (also makes the split deterministic even
+    under ordering ties).
+    """
+    pin = pin or (lambda d: d)
+    w = Window.partitionBy(host_col).orderBy(F.col(priority_col).desc(), F.col(seq_col).asc())
+    ranked = pin(df.withColumn("__rank", F.row_number().over(w)))
+    selected = ranked.filter(F.col("__rank") <= per_host_budget).drop("__rank")
+    backlog = ranked.filter(F.col("__rank") > per_host_budget).drop("__rank")
+    return selected, backlog
+
+
 def salt_hot_hosts(
     df: DataFrame,
     target_rows_per_task: int = 10_000,

@@ -11,7 +11,7 @@ Scale notes: each iteration is one join + one aggregation, both
 hash-partitioned on the node id — pre-partitioning ``edges`` by src
 makes the join shuffle-free on the big side across iterations. Lineage
 is cut per iteration with a persist → materialize → release-parent
-chain (columnar cache): the previous ``localCheckpoint(eager=True)``
+chain (columnar cache): the previous eager local-checkpoint approach
 row-serialized every rank block per iteration and anti-scales at
 web-graph node counts (BENCH/BASELINE.md; VERDICT r2 #6). Dangling mass
 is redistributed so ranks always sum to 1.

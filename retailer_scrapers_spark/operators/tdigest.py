@@ -104,9 +104,11 @@ class TDigest:
         return cls(delta, body[:k].copy(), body[k:].copy())
 
 
-def tdigest_by_key(df, key_col: str, value_col: str, delta: float = 100.0) -> dict[str, TDigest]:
-    """Per-key digests built distributed (same shape as hll_by_key):
-    shuffle by key, sketch per task, driver merges the tiny digests."""
+def tdigest_sketch_df(df, key_col: str, value_col: str, delta: float = 100.0):
+    """Per-key digests as a ``(key string, sketch binary)`` DataFrame,
+    built fully executor-side (same contract as ``hll_sketch_df``: the
+    pre-build repartition on the key guarantees one output row per key,
+    so there is no driver fold — VERDICT r3 #4)."""
     import itertools
     from collections.abc import Iterator
 
@@ -133,9 +135,15 @@ def tdigest_by_key(df, key_col: str, value_col: str, delta: float = 100.0) -> di
                 }
             )
 
-    rows = hashed.mapInArrow(build, "key string, sketch binary").collect()
+    return hashed.mapInArrow(build, "key string, sketch binary")
+
+
+def tdigest_by_key(df, key_col: str, value_col: str, delta: float = 100.0) -> dict[str, TDigest]:
+    """Dict convenience API over :func:`tdigest_sketch_df` — collects
+    the final one-row-per-key table. For bounded-cardinality reporting;
+    the epoch loop uses the DataFrame form."""
     out: dict[str, TDigest] = {}
-    for r in rows:
+    for r in tdigest_sketch_df(df, key_col, value_col, delta=delta).collect():
         td = TDigest.deserialize(bytes(r.sketch))
         out[r.key] = td if r.key not in out else out[r.key].merge(td)
     return out

@@ -22,47 +22,84 @@ read shape as the ``seen`` table, and replay-safe for the same reason
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-from retailer_scrapers_spark.operators.hll import HyperLogLog, hll_by_key
-from retailer_scrapers_spark.operators.tdigest import TDigest, tdigest_by_key
+from retailer_scrapers_spark.operators.hll import HyperLogLog, hll_sketch_df
+from retailer_scrapers_spark.operators.tdigest import TDigest, tdigest_sketch_df
 
 SKETCH_SCHEMA = "host string, kind string, sketch binary, epoch int"
 
 
-def epoch_sketch_rows(
+def epoch_sketch_df(
     touched: DataFrame, fetched: DataFrame, epoch: int, hll_p: int = 12
-) -> list[tuple]:
-    """Build the epoch's (host, kind, sketch, epoch) rows.
+) -> DataFrame:
+    """The epoch's ``(host, kind, sketch, epoch)`` table, built fully
+    executor-side — no sketch bytes ever route through the driver
+    (VERDICT r3 #4: the previous list-of-rows build collected one
+    sketch per host and re-uploaded via ``createDataFrame``; at 10^6+
+    hosts that is GBs through the driver per epoch).
 
     ``touched``: (url_canon, host, …) — every URL the epoch handled;
     ``fetched``: (host, wait_ms, …) — the epoch's actual fetches.
     """
-    rows: list[tuple] = []
-    for host, sk in hll_by_key(touched, "host", "url_canon", p=hll_p).items():
-        rows.append((host, "hll_urls", bytearray(sk.serialize()), epoch))
-    for host, td in tdigest_by_key(fetched, "host", "wait_ms").items():
-        rows.append((host, "tdigest_wait_ms", bytearray(td.serialize()), epoch))
-    return rows
+    h = hll_sketch_df(touched, "host", "url_canon", p=hll_p).select(
+        F.col("key").alias("host"),
+        F.lit("hll_urls").alias("kind"),
+        F.col("sketch"),
+        F.lit(epoch).cast("int").alias("epoch"),
+    )
+    t = tdigest_sketch_df(fetched, "host", "wait_ms").select(
+        F.col("key").alias("host"),
+        F.lit("tdigest_wait_ms").alias("kind"),
+        F.col("sketch"),
+        F.lit(epoch).cast("int").alias("epoch"),
+    )
+    return h.unionByName(t)
+
+
+def _merge_sketch_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Fold one (host, kind) group's epoch deltas into a single sketch
+    (runs on executors under ``applyInPandas``). Epoch-ordered so the
+    t-digest representation matches the previous driver-side fold
+    byte-for-byte; HLL merge is an elementwise max and order-free."""
+    kind = pdf["kind"].iloc[0]
+    blobs = [bytes(b) for b in pdf.sort_values("epoch")["sketch"]]
+    cls = HyperLogLog if kind == "hll_urls" else TDigest
+    sk = cls.deserialize(blobs[0])
+    for b in blobs[1:]:
+        sk = sk.merge(cls.deserialize(b))
+    return pd.DataFrame(
+        {"host": [pdf["host"].iloc[0]], "kind": [kind], "sketch": [sk.serialize()]}
+    )
+
+
+def merged_sketch_df(catalog, max_epoch: int | None = None) -> DataFrame | None:
+    """Cross-epoch rollup as a ``(host, kind, sketch)`` DataFrame —
+    one row per (host, kind), folded on executors (grouped Arrow
+    stage), never materializing all epochs' sketches on the driver."""
+    df = catalog.read_all("metrics_sketches", max_epoch=max_epoch)
+    if df is None:
+        return None
+    return df.groupBy("host", "kind").applyInPandas(
+        _merge_sketch_group, "host string, kind string, sketch binary"
+    )
 
 
 def merged_sketches(catalog, max_epoch: int | None = None) -> dict[str, dict[str, object]]:
-    """Fold every committed ``metrics_sketches`` delta into per-host
-    sketches: ``{"hll_urls": {host: HyperLogLog}, "tdigest_wait_ms":
-    {host: TDigest}}``. Sketch payloads are tiny (2^p bytes / a few
-    hundred clusters per host), so the fold collects to the driver."""
+    """Dict convenience API over :func:`merged_sketch_df`: ``{"hll_urls":
+    {host: HyperLogLog}, "tdigest_wait_ms": {host: TDigest}}``. Only the
+    FINAL one-row-per-(host, kind) sketches reach the driver; the
+    per-epoch fold stays distributed."""
     out: dict[str, dict[str, object]] = {"hll_urls": {}, "tdigest_wait_ms": {}}
-    df = catalog.read_all("metrics_sketches", max_epoch=max_epoch)
+    df = merged_sketch_df(catalog, max_epoch=max_epoch)
     if df is None:
         return out
-    for r in df.sort("epoch").collect():
+    for r in df.collect():
         blob = bytes(r.sketch)
         if r.kind == "hll_urls":
-            sk = HyperLogLog.deserialize(blob)
-            cur = out["hll_urls"].get(r.host)
-            out["hll_urls"][r.host] = sk if cur is None else cur.merge(sk)
+            out["hll_urls"][r.host] = HyperLogLog.deserialize(blob)
         elif r.kind == "tdigest_wait_ms":
-            td = TDigest.deserialize(blob)
-            cur = out["tdigest_wait_ms"].get(r.host)
-            out["tdigest_wait_ms"][r.host] = td if cur is None else cur.merge(td)
+            out["tdigest_wait_ms"][r.host] = TDigest.deserialize(blob)
     return out

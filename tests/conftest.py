@@ -53,6 +53,35 @@ def existing_df(spark):
 
 
 @pytest.fixture(scope="session")
+def baseline_crawl_10x6(spark, site_df, robots_df, seeds_df, tmp_path_factory):
+    """One uninterrupted epochs=10/per_host_budget=6 crawl, shared by the
+    resume-parity, compaction-parity and sketch-parity tests — they all
+    compare against this exact config, so running it three times bought
+    nothing (VERDICT r3 #9: suite wall-time). Returns the workdir."""
+    from retailer_scrapers_spark.plans.crawl import CrawlConfig, CrawlPlan
+
+    work = str(tmp_path_factory.mktemp("base10x6"))
+    CrawlPlan(spark, CrawlConfig(workdir=work, epochs=10, per_host_budget=6), site_df, robots_df).run(seeds_df)
+    return work
+
+
+@pytest.fixture(scope="session")
+def resumed_crawl_10x6(spark, site_df, robots_df, seeds_df, tmp_path_factory):
+    """The same config killed after epoch 2 and resumed from a FRESH
+    driver — the shared interrupted counterpart of
+    ``baseline_crawl_10x6``. Returns the workdir."""
+    from retailer_scrapers_spark.plans.crawl import CrawlConfig, CrawlPlan
+
+    work = str(tmp_path_factory.mktemp("resume10x6"))
+    cfg = CrawlConfig(workdir=work, epochs=10, per_host_budget=6)
+    CrawlPlan(spark, cfg, site_df, robots_df).run(seeds_df, epochs=2)  # "crash"
+    plan2 = CrawlPlan(spark, cfg, site_df, robots_df)  # fresh driver
+    assert plan2.resume_epoch() == 2
+    plan2.run(seeds_df, epochs=10)
+    return work
+
+
+@pytest.fixture(scope="session")
 def crawl_run(spark, site_df, robots_df, seeds_df, corpus_df, existing_df, tmp_path_factory):
     """One full crawl over the synthetic web, shared by e2e + golden tests."""
     from retailer_scrapers_spark.plans.crawl import CrawlConfig, CrawlPlan

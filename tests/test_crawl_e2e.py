@@ -107,21 +107,11 @@ def test_skip_refetch_reuses_existing_image(crawl_run, existing_df):
     assert row[0].image_url == G.image_url_of("shoprite.test", p0["image_id"])
 
 
-def test_resume_matches_uninterrupted(spark, site_df, robots_df, seeds_df, corpus_df, tmp_path_factory):
-    """R8: kill after epoch 2, resume, final state identical to one shot."""
-    w1 = str(tmp_path_factory.mktemp("resume_a"))
-    w2 = str(tmp_path_factory.mktemp("resume_b"))
-    cfg1 = CrawlConfig(workdir=w1, epochs=10, per_host_budget=6)
-    CrawlPlan(spark, cfg1, site_df, robots_df).run(seeds_df)
-
-    cfg2 = CrawlConfig(workdir=w2, epochs=10, per_host_budget=6)
-    plan_b = CrawlPlan(spark, cfg2, site_df, robots_df)
-    plan_b.run(seeds_df, epochs=2)  # "crash" after epoch 2
-    plan_b2 = CrawlPlan(spark, cfg2, site_df, robots_df)  # fresh driver
-    assert plan_b2.resume_epoch() == 2
-    plan_b2.run(seeds_df, epochs=10)
-
-    cat1, cat2 = SnapshotCatalog(w1, spark), SnapshotCatalog(w2, spark)
+def test_resume_matches_uninterrupted(spark, baseline_crawl_10x6, resumed_crawl_10x6):
+    """R8: kill after epoch 2, resume, final state identical to one shot
+    (the crash + fresh-driver resume happen in the shared fixture)."""
+    cat1 = SnapshotCatalog(baseline_crawl_10x6, spark)
+    cat2 = SnapshotCatalog(resumed_crawl_10x6, spark)
     seen1 = {r.url_canon for r in cat1.read_all("seen").collect()}
     seen2 = {r.url_canon for r in cat2.read_all("seen").collect()}
     assert seen1 == seen2
@@ -198,12 +188,11 @@ def test_crawl_with_per_host_retry_budgets(spark, site_df, robots_df, seeds_df, 
     assert plan.catalog.read("frontier").isEmpty()
 
 
-def test_compacted_crawl_matches_uncompacted(spark, site_df, robots_df, seeds_df, tmp_path_factory):
+def test_compacted_crawl_matches_uncompacted(spark, site_df, robots_df, seeds_df, baseline_crawl_10x6, tmp_path_factory):
     """compact_seen_every folds seen deltas mid-crawl; the crawl result,
     final seen set, and a later resume are unaffected."""
-    w1 = str(tmp_path_factory.mktemp("comp_a"))
+    w1 = baseline_crawl_10x6
     w2 = str(tmp_path_factory.mktemp("comp_b"))
-    CrawlPlan(spark, CrawlConfig(workdir=w1, epochs=10, per_host_budget=6), site_df, robots_df).run(seeds_df)
     cfg2 = CrawlConfig(workdir=w2, epochs=10, per_host_budget=6, compact_seen_every=2)
     plan2 = CrawlPlan(spark, cfg2, site_df, robots_df)
     plan2.run(seeds_df, epochs=4)  # crash after epoch 4 (compactions ran)

@@ -42,12 +42,23 @@ def test_pagerank_no_localcheckpoint_and_no_cache_leak(spark):
     """VERDICT r2 #6: the lineage cut is a persist/unpersist chain (no
     row-serializing localCheckpoint), and all caches are released once
     the caller drops the result."""
+    import ast
     import gc
     import inspect
 
     from retailer_scrapers_spark.operators import pagerank as PR
 
-    assert "localCheckpoint" not in inspect.getsource(PR)
+    # Assert over CODE (ast call/attribute nodes), not raw source text —
+    # docstrings/comments may legitimately mention the API by name
+    # (ADVICE r3: the raw-text assert tripped on a why-note and
+    # dead-coded the leak check below).
+    tree = ast.parse(inspect.getsource(PR))
+    called = {
+        node.attr
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Attribute)
+    }
+    assert "localCheckpoint" not in called
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
     df = spark.createDataFrame([("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string")
     out = pagerank(df, iterations=5)
