@@ -28,17 +28,20 @@ def robots_filter(
     prefixes. ``robots.disallow`` holds path(+query) prefixes; a URL is
     denied when its path starts with any of them. The robots table is
     tiny → broadcast join; unknown hosts are allowed."""
-    pathq = F.regexp_replace(F.col(url_col), r"^[a-z][a-z0-9+.\-]*://[^/]+", "")
-    joined = frontier.join(
-        F.broadcast(robots.select(host_col, "disallow", "crawl_delay_s")), host_col, "left"
-    ).withColumn(
-        "__denied",
-        F.when(F.col("disallow").isNull(), F.lit(False)).otherwise(
-            F.exists(F.col("disallow"), lambda d: pathq.startswith(d))
-        ),
+    joined = (
+        frontier.join(F.broadcast(robots.select(host_col, "disallow", "crawl_delay_s")), host_col, "left")
+        # staged so the lambda probes a codegen local, not a per-element
+        # re-run of the regex (one eval per row, not per disallow prefix)
+        .withColumn("__pathq", F.regexp_replace(F.col(url_col), r"^[a-z][a-z0-9+.\-]*://[^/]+", ""))
+        .withColumn(
+            "__denied",
+            F.when(F.col("disallow").isNull(), F.lit(False)).otherwise(
+                F.exists(F.col("disallow"), lambda d: F.col("__pathq").startswith(d))
+            ),
+        )
     )
-    allowed = joined.filter(~F.col("__denied")).drop("__denied", "disallow")
-    denied = joined.filter(F.col("__denied")).drop("__denied", "disallow")
+    allowed = joined.filter(~F.col("__denied")).drop("__denied", "disallow", "__pathq")
+    denied = joined.filter(F.col("__denied")).drop("__denied", "disallow", "__pathq")
     return allowed, denied
 
 

@@ -21,13 +21,28 @@ def get_spark(
     cores: int | str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    codegen: bool | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     ``cores`` accepts an int (→ ``local[n]``) or a full master string; it
     defaults to ``$SPARK_GRAFT_CPUS`` then ``local[*]``. On a real cluster
     the master comes from spark-submit and this arg is ignored there.
+
+    ``codegen`` (default on; also ``$SPARK_GRAFT_CODEGEN=off``):
+    whole-stage + expression codegen is the right default at data scale —
+    compiled row processing amortizes over billions of rows. At tiny
+    (test/CI) scale the economics invert: Janino compilation costs
+    seconds per NOVEL plan shape (and this sandbox pays a ~25–50 s
+    one-time per-JVM codegen cold start — measured via a trivial
+    ``lower()`` projection), while interpreted evaluation of a few
+    thousand rows is microseconds. A multi-action pipeline like one
+    crawl epoch (~40 distinct plan shapes) therefore runs minutes
+    faster interpreted when the data is KB-sized. Flip it off for
+    small-fixture test runs; never off for real data.
     """
+    if codegen is None:
+        codegen = os.environ.get("SPARK_GRAFT_CODEGEN", "on").lower() not in ("off", "0", "false")
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if isinstance(cores, str) and cores.startswith(("local", "spark", "yarn", "k8s")):
@@ -52,6 +67,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if not codegen:
+        builder = builder.config("spark.sql.codegen.wholeStage", "false").config(
+            "spark.sql.codegen.factoryMode", "NO_CODEGEN"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

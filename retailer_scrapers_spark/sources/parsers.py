@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from retailer_scrapers_spark.functions.prices import get_price, initial_promo
-from retailer_scrapers_spark.functions.urls import canonicalize_url
+from retailer_scrapers_spark.functions.urls import canonicalize_urls
 
 DECOY_MARKER = "discovery-vitality"  # F1, scrape_shoprite.py:276
 
@@ -40,21 +40,30 @@ def parse_html_products(pages: DataFrame) -> DataFrame:
         .withColumnRenamed("pos", "pos")
         .withColumnRenamed("col", "block")
     )
-    name = F.regexp_extract("block", r'<h3 class="item-product__name">([^<]*)</h3>', 1)
-    price_old = F.regexp_extract("block", r'<span class="before">([^<]*)</span>', 1)
-    price_now = F.regexp_extract("block", r'<span class="now">([^<]*)</span>', 1)
     imgs = F.regexp_extract_all("block", F.lit(r'<img data-original-src="([^"]*)"'), 1)
-    img = F.get(F.filter(imgs, lambda u: (u != "") & ~u.contains(DECOY_MARKER)), 0)  # F1
-    return exploded.select(
+    # `__img` is staged as a named column: the canonicalizer references
+    # its input ~30 times, and a Column-level reuse would copy the
+    # regexp_extract_all+filter subtree per reference (the F8 tree
+    # blow-up — see functions/urls.py). As a column it codegens to one
+    # local var, and image_id reuses it for free.
+    staged = exploded.withColumns(
+        {
+            "__price_old": F.nullif(F.regexp_extract("block", r'<span class="before">([^<]*)</span>', 1), F.lit("")),
+            "__price_now": F.nullif(F.regexp_extract("block", r'<span class="now">([^<]*)</span>', 1), F.lit("")),
+            "__img": F.get(F.filter(imgs, lambda u: (u != "") & ~u.contains(DECOY_MARKER)), 0),  # F1
+        }
+    )
+    canon = canonicalize_urls(staged, "__img", "__img_canon", default_host_col="host", host_out=None)  # F6
+    return canon.select(
         "host",
         "page",
         "category",
         "pos",
-        name.alias("name"),
-        get_price(F.nullif(price_old, F.lit("")), F.nullif(price_now, F.lit(""))).alias("price"),
-        initial_promo(F.nullif(price_old, F.lit("")), F.nullif(price_now, F.lit(""))).alias("promotion_price"),
-        F.when(img.isNotNull(), canonicalize_url(img, F.col("host"))).alias("image_url"),  # F6
-        F.regexp_extract(img, r"/img/([^.]+)\.png", 1).alias("image_id"),
+        F.regexp_extract("block", r'<h3 class="item-product__name">([^<]*)</h3>', 1).alias("name"),
+        get_price(F.col("__price_old"), F.col("__price_now")).alias("price"),
+        initial_promo(F.col("__price_old"), F.col("__price_now")).alias("promotion_price"),
+        F.when(F.col("__img").isNotNull(), F.col("__img_canon")).alias("image_url"),
+        F.regexp_extract("__img", r"/img/([^.]+)\.png", 1).alias("image_id"),
     )
 
 

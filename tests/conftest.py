@@ -12,7 +12,12 @@ from retailer_scrapers_spark.sources import synthetic_site as site_gen
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("rss-tests", cores=8, shuffle_partitions=8)
+    # codegen=False: at KB-sized fixtures Janino compilation (seconds per
+    # novel plan shape, ~25-50 s per-JVM cold start in this sandbox)
+    # dwarfs interpreted evaluation — see session.get_spark. Tests that
+    # assert on generated code re-enable spark.sql.codegen.wholeStage
+    # locally (it is a runtime conf).
+    s = get_spark("rss-tests", cores=8, shuffle_partitions=8, codegen=False)
     yield s
     s.stop()
 

@@ -121,19 +121,19 @@ def test_resume_matches_uninterrupted(spark, baseline_crawl_10x6, resumed_crawl_
 
 
 def test_epoch_replay_does_not_duplicate_staged_rows(
-    spark, site_df, robots_df, seeds_df, tmp_path_factory
+    spark, site_df, robots_df, seeds_df, baseline_crawl_10x6, tmp_path_factory
 ):
     """ADVICE r1: staged_* tables commit BEFORE the epoch's frontier
     snapshot; a crash in that window replays the whole epoch on resume.
     Simulate the torn epoch by deleting epoch-2's post-staging commits
     (fetch_log … frontier) while keeping the staged commits, then resume:
-    staged tables must match an uninterrupted run row-for-row."""
+    staged tables must match an uninterrupted run row-for-row (the
+    uninterrupted side is the shared ``baseline_crawl_10x6`` fixture —
+    identical config, so a private re-crawl bought nothing)."""
     import shutil
 
-    w1 = str(tmp_path_factory.mktemp("replay_a"))
+    w1 = baseline_crawl_10x6
     w2 = str(tmp_path_factory.mktemp("replay_b"))
-    cfg1 = CrawlConfig(workdir=w1, epochs=10, per_host_budget=6)
-    CrawlPlan(spark, cfg1, site_df, robots_df).run(seeds_df)
 
     cfg2 = CrawlConfig(workdir=w2, epochs=10, per_host_budget=6)
     CrawlPlan(spark, cfg2, site_df, robots_df).run(seeds_df, epochs=3)

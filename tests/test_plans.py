@@ -83,8 +83,15 @@ def test_whole_stage_codegen_in_parsers(spark, site_df):
     plan = plan_of(q, mode="simple")
     assert "EvalPython" not in plan  # the whole parse stage is JVM-side
     assert "Generate posexplode" in plan  # the 1→N record fan-out (S3)
-    codegen = plan_of(q, mode="codegen")
-    assert "WholeStageCodegen subtrees" in codegen
+    # the session runs interpreted (conftest codegen=False); flip the
+    # RUNTIME conf back on just for the generated-code assertion so the
+    # production default (codegen on) is what gets planned here
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    try:
+        codegen = plan_of(q, mode="codegen")
+        assert "WholeStageCodegen subtrees" in codegen
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
 
 
 def test_frontier_next_has_no_full_frontier_dedup(spark, site_df, robots_df, seeds_df, tmp_path_factory):

@@ -10,10 +10,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(workdir, epochs, *extra):
+    # SPARK_GRAFT_CODEGEN=off: the subprocess crawls a KB-sized synthetic
+    # site in a FRESH JVM — Janino compilation (seconds per novel plan
+    # shape + the sandbox's ~25-50 s per-JVM codegen cold start) would
+    # multiply across the ~40 plan shapes per epoch and time the test
+    # out. Interpreted evaluation is strictly faster at this scale; the
+    # production default (codegen on) is untouched.
+    env = dict(os.environ, SPARK_GRAFT_CODEGEN="off")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "run_crawl.py"),
          "--workdir", workdir, "--epochs", str(epochs), "--cores", "4", *extra],
-        capture_output=True, text=True, timeout=540, cwd=REPO,
+        capture_output=True, text=True, timeout=540, cwd=REPO, env=env,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     return json.loads(out.stdout.strip().splitlines()[-1])

@@ -42,6 +42,8 @@ def test_relative_url_prefix_fix(spark):
     got = [r.c for r in df.withColumn("c", canonicalize_url(F.col("url"), F.col("h"))).collect()]
     assert got == ["https://shop.test/img/x.png", "https://shop.test/img/y.png"]
     assert canonicalize_py("/img/x.png", "shop.test") == "https://shop.test/img/x.png"
+    staged = [r.c for r in canonicalize_urls(df, "url", "c", default_host_col="h", host_out=None).collect()]
+    assert staged == got
 
 
 def test_property_spark_python_parity(spark):
@@ -65,6 +67,13 @@ def test_property_spark_python_parity(spark):
     got = [r.c for r in df.withColumn("c", canonicalize_url(F.col("url"))).collect()]
     want = [canonicalize_py(u) for u in urls]
     assert got == want
+    # the STAGED DataFrame form (the hot-path implementation) must match
+    # both the Column form and the python twin — including host
+    staged = {r.url: (r.url_canon, r.host) for r in canonicalize_urls(df).collect()}
+    for u in urls:
+        w = canonicalize_py(u)
+        w_host = w.split("://", 1)[1].split("/", 1)[0].split(":", 1)[0]
+        assert staged[u] == (w, w_host), u
 
 
 def test_host_of(spark):
