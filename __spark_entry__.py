@@ -582,6 +582,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = ann_ivf_topk_q
 
+    def ann_ivf_full_probe_topk(spark, sf):
+        # IVF with n_probe == n_cells is EXACT by construction (pruning
+        # disabled, decomposition intact), so the whole IVF machinery —
+        # Lloyd training, Arrow-matmul cell assignment, per-cell scoring,
+        # cross-cell top-k merge — sits under the brute-force SQL oracle.
+        # The pruned variant above stays recall-pinned; this proves the
+        # decomposition itself is lossless.
+        from retailer_scrapers_spark.operators.similarity import ann_ivf_topk
+
+        emb = _t(spark, sf, "embeddings")
+        return ann_ivf_topk(emb, _QUERY_VEC, k=12, n_cells=16, n_probe=16)
+
+    q["ann_ivf_full_probe_topk"] = ann_ivf_full_probe_topk
+
     def embedding_near_dup_blocked(spark, sf):
         # exact all-pairs cosine within label blocks (deterministic oracle);
         # the LSH variant (embedding_near_dup_lsh) is the scale path
@@ -1252,6 +1266,18 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings
         ORDER BY cosine DESC, vec_id ASC
         LIMIT 20
+    """
+
+    # IVF at full probe ≡ brute force (see queries(): the oracle checks
+    # the decomposition, the pruned variant is recall-pinned in pytest)
+    o["ann_ivf_full_probe_topk"] = f"""
+        SELECT vec_id,
+               ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), {_QUERY_SQL})
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product({_QUERY_SQL}, {_QUERY_SQL}))), 6) AS cosine
+        FROM embeddings
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 12
     """
 
     o["embedding_near_dup_blocked"] = """
