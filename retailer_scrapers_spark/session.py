@@ -43,18 +43,23 @@ def get_spark(
     """
     if codegen is None:
         codegen = os.environ.get("SPARK_GRAFT_CODEGEN", "on").lower() not in ("off", "0", "false")
-    if cores is None:
+    if cores is None and "PYSPARK_GATEWAY_PORT" in os.environ and "SPARK_GRAFT_CPUS" not in os.environ:
+        # Launched by spark-submit (the gateway JVM already carries
+        # --master/--py-files): respect the submitted master instead of
+        # overriding it — this is the north_rule's deployment path.
+        master = None
+    elif cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    if isinstance(cores, str) and cores.startswith(("local", "spark", "yarn", "k8s")):
+    if cores is not None and isinstance(cores, str) and cores.startswith(("local", "spark", "yarn", "k8s")):
         master = cores
-    else:
+    elif cores is not None:
         master = f"local[{cores}]"
     if shuffle_partitions is None:
-        digits = "".join(c for c in master if c.isdigit())
+        digits = "".join(c for c in master if c.isdigit()) if master else ""
         shuffle_partitions = int(digits) if digits else (os.cpu_count() or 8)
 
     builder = (
-        SparkSession.builder.master(master)
+        (SparkSession.builder.master(master) if master else SparkSession.builder)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -69,7 +69,11 @@ def main() -> None:
     start = plan.resume_epoch()
     plan.run(seeds, epochs=args.epochs)
 
-    summary: dict = {"resumed_from_epoch": start, "epochs_committed": plan.catalog.committed_epochs("frontier")}
+    summary: dict = {
+        "resumed_from_epoch": start,
+        "epochs_committed": plan.catalog.committed_epochs("frontier"),
+        "master": spark.sparkContext.master,
+    }
     seen = plan.catalog.read_all("seen")
     summary["urls_seen"] = seen.count() if seen is not None else 0
     if args.finalize:

@@ -39,6 +39,48 @@ def test_run_crawl_cli_and_resume(tmp_path):
     assert second["urls_seen"] >= first["urls_seen"]
 
 
+def test_spark_submit_pyfiles(tmp_path):
+    """north_rule deployment path: ``spark-submit --py-files engine.zip``
+    with the driver script run from OUTSIDE the repo, so every engine
+    import must resolve from the zip. Also pins that get_spark respects
+    the submitted ``--master`` instead of overriding it."""
+    import shutil
+    import zipfile
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        import pytest
+
+        pytest.skip("spark-submit not on this box")
+
+    pkg = os.path.join(REPO, "retailer_scrapers_spark")
+    zip_path = str(tmp_path / "engine.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+    shutil.copy(os.path.join(REPO, "run_crawl.py"), tmp_path)
+
+    env = dict(os.environ, SPARK_GRAFT_CODEGEN="off")
+    env.pop("SPARK_GRAFT_CPUS", None)  # the submitted --master must win
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--driver-memory", "8g",
+         "--py-files", zip_path, "run_crawl.py",
+         "--workdir", str(tmp_path / "work"), "--epochs", "1"],
+        capture_output=True, text=True, timeout=540, cwd=str(tmp_path), env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["epochs_committed"] == [0]
+    assert summary["urls_seen"] > 0
+    assert summary["master"] == "local[4]"
+
+
 def test_run_crawl_cli_mode_flags(tmp_path):
     """--politeness-mode/--filter-kind/--compact-seen-every reach the
     CrawlConfig: the run checkpoints sched_state, a cuckoo filter blob,
