@@ -216,10 +216,125 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def sweeps_report() -> None:
+    """SURVEY §7 Phase-5: partition-count and filter-size sweeps.
+
+    Two knobs dominate the frontier job at scale and both have a
+    measurable sweet spot: (a) ``spark.sql.shuffle.partitions`` for the
+    dedup/top-k exchanges, (b) Bloom sizing (m_bits per target fpp) —
+    smaller filters build faster but push more false positives into the
+    exact verify anti-join. Appends the measured table to
+    BENCH/BASELINE.md and prints one JSON line."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from retailer_scrapers_spark import get_spark
+    from retailer_scrapers_spark.functions.urls import canonicalize_urls
+    from retailer_scrapers_spark.operators.bloom import build_bloom, filter_unseen, probe_bloom
+    from retailer_scrapers_spark.operators.frontier import topk_per_host
+
+    spark = get_spark("bench-sweeps", cores=CPUS)
+    n = min(BENCH_N, 2_000_000)
+    n_hosts = max(n // 2048, 16)
+    raw = spark.range(n).select(
+        F.concat(
+            F.lit("https://Host"),
+            (F.col("id") % n_hosts).cast("string"),
+            F.lit(".test/p/"),
+            F.col("id").cast("string"),
+            F.lit("?utm_source=bench&b=2&a=1#frag"),
+        ).alias("url"),
+        F.col("id"),
+    )
+    frontier = (
+        canonicalize_urls(raw, "url")
+        .select("url_canon", "host", F.col("id").alias("seq"), F.lit(1.0).alias("priority"))
+        .persist()
+    )
+    frontier.count()
+    seen = frontier.filter(F.col("seq") % 2 == 0).select("url_canon").persist()
+    n_seen = seen.count()
+
+    def bloom_for(fpp: float):
+        m_bits = max(64, int(-n_seen * math.log(fpp) / (math.log(2) ** 2)))
+        k = max(1, round(m_bits / n_seen * math.log(2)))
+        t0 = time.time()
+        b = build_bloom(seen, m_bits=m_bits, k_hashes=k)
+        return b, m_bits, k, time.time() - t0
+
+    # --- partition-count sweep (fixed 1e-3 filter) ---------------------
+    bloom_mid, _, _, _ = bloom_for(1e-3)
+    # untimed warm pass: python workers + broadcast + codegen, so the
+    # first swept level doesn't absorb one-time costs
+    topk_per_host(filter_unseen(frontier, bloom_mid, seen), per_host_budget=1 << 30).count()
+    part_rows = []
+    for p in (8, 32, 128):
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        t0 = time.time()
+        cnt = topk_per_host(filter_unseen(frontier, bloom_mid, seen), per_host_budget=1 << 30).count()
+        dt = time.time() - t0
+        assert cnt == n - n_seen
+        part_rows.append({"shuffle_partitions": p, "dedup_topk_sec": round(dt, 3), "urls_per_sec": round(n / dt, 1)})
+    spark.conf.set("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
+
+    # --- filter-size sweep ---------------------------------------------
+    filt_rows = []
+    for fpp in (1e-2, 1e-3, 1e-4):
+        bloom, m_bits, k, t_build = bloom_for(fpp)
+        pos = probe_bloom(frontier, bloom).filter(F.col("__maybe_seen")).count()
+        fp = pos - n_seen  # the seen half always probes positive
+        t1 = time.time()
+        cnt = filter_unseen(frontier, bloom, seen).count()
+        t_dedup = time.time() - t1
+        assert cnt == n - n_seen
+        filt_rows.append(
+            {
+                "target_fpp": fpp,
+                "m_bits": m_bits,
+                "filter_mb": round(m_bits / 8 / 1e6, 1),
+                "k_hashes": k,
+                "build_sec": round(t_build, 3),
+                "false_positives": fp,
+                "measured_fpp": round(fp / max(n - n_seen, 1), 5),
+                "verify_antijoin_rows": pos,
+                "dedup_sec": round(t_dedup, 3),
+            }
+        )
+    spark.stop()
+
+    out_md = os.environ.get("SPARK_GRAFT_BENCH_MD", "BENCH/BASELINE.md")
+    os.makedirs(os.path.dirname(out_md) or ".", exist_ok=True)
+    with open(out_md, "a") as f:
+        f.write(
+            f"\n## Sweeps (SURVEY §7 Phase-5; {n:,} URLs, local[{CPUS}])\n\n"
+            "Partition-count sweep — Bloom-prefiltered dedup + host top-k at\n"
+            "fixed 1e-3 filter sizing (the exchanges this knob feeds):\n\n"
+            "| shuffle.partitions | dedup+topk (s) | URLs/s |\n|---|---|---|\n"
+            + "".join(
+                f"| {r['shuffle_partitions']} | {r['dedup_topk_sec']} | {r['urls_per_sec']:,.0f} |\n"
+                for r in part_rows
+            )
+            + "\nFilter-size sweep — smaller filters push false positives into\n"
+            "the exact verify anti-join; measured fpp tracks the target:\n\n"
+            "| target fpp | filter MB | k | build (s) | measured fpp | verify rows | dedup (s) |\n"
+            "|---|---|---|---|---|---|---|\n"
+            + "".join(
+                f"| {r['target_fpp']} | {r['filter_mb']} | {r['k_hashes']} | {r['build_sec']} | "
+                f"{r['measured_fpp']} | {r['verify_antijoin_rows']:,} | {r['dedup_sec']} |\n"
+                for r in filt_rows
+            )
+        )
+    print(json.dumps({"partition_sweep": part_rows, "filter_sweep": filt_rows, "n_urls": n, "cores": CPUS}))
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         scaling_report()
+        return
+    if "--sweeps" in sys.argv:
+        sweeps_report()
         return
     if "--frontier-only" in sys.argv:  # subprocess mode for scaling runs
         from retailer_scrapers_spark import get_spark
