@@ -22,6 +22,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
     codegen: bool | None = None,
+    aqe: bool | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
@@ -40,9 +41,25 @@ def get_spark(
     crawl epoch (~40 distinct plan shapes) therefore runs minutes
     faster interpreted when the data is KB-sized. Flip it off for
     small-fixture test runs; never off for real data.
+
+    ``aqe`` (default on; also ``$SPARK_GRAFT_AQE=off``): same economics
+    as codegen. AQE's ``onUpdatePlan`` stringifies the ENTIRE physical
+    plan synchronously (inside ``withFinalPlanUpdate``, blocking the
+    query) on every stage materialization. An epoch pipeline whose
+    metrics/log unions repeat the frontier subtree ~7× produces plan
+    trees big enough that this stringification — not execution —
+    dominates KB-scale runs (measured: >85 s of driver CPU inside
+    ``generateTreeString`` in the first 100 s of one e2e test, vs
+    milliseconds of actual work). At data scale AQE's coalescing/skew
+    splits pay for that overhead many times over, and the
+    ``maxPlanStringLength`` cap below bounds the per-update cost; at
+    KB scale there is nothing to coalesce. Flip it off for
+    small-fixture test runs; never off for real data.
     """
     if codegen is None:
         codegen = os.environ.get("SPARK_GRAFT_CODEGEN", "on").lower() not in ("off", "0", "false")
+    if aqe is None:
+        aqe = os.environ.get("SPARK_GRAFT_AQE", "on").lower() not in ("off", "0", "false")
     if cores is None and "PYSPARK_GATEWAY_PORT" in os.environ and "SPARK_GRAFT_CPUS" not in os.environ:
         # Launched by spark-submit (the gateway JVM already carries
         # --master/--py-files): respect the submitted master instead of
@@ -62,9 +79,14 @@ def get_spark(
         (SparkSession.builder.master(master) if master else SparkSession.builder)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Cap plan stringification (AQE posts a full explain per stage
+        # update; SQLExecutionStart posts one per action). 64 KB is ample
+        # for debugging; unbounded, a deep epoch plan costs the DRIVER
+        # whole seconds of CPU per update at any data scale.
+        .config("spark.sql.maxPlanStringLength", str(64 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", _ARROW_MAX_RECORDS)

@@ -17,7 +17,11 @@ def spark():
     # dwarfs interpreted evaluation — see session.get_spark. Tests that
     # assert on generated code re-enable spark.sql.codegen.wholeStage
     # locally (it is a runtime conf).
-    s = get_spark("rss-tests", cores=8, shuffle_partitions=8, codegen=False)
+    # aqe=False: AQE stringifies the full plan per stage update — at
+    # KB fixture scale that stringification dominates e2e wall-clock
+    # while coalescing buys nothing (see session.get_spark). Tests that
+    # assert AQE behavior set spark.sql.adaptive.enabled locally.
+    s = get_spark("rss-tests", cores=8, shuffle_partitions=8, codegen=False, aqe=False)
     yield s
     s.stop()
 

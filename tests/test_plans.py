@@ -94,6 +94,16 @@ def test_whole_stage_codegen_in_parsers(spark, site_df):
         spark.conf.set("spark.sql.codegen.wholeStage", "false")
 
 
+def test_session_knobs(spark):
+    """The test session opts out of AQE (its synchronous per-stage-update
+    plan stringification dominates KB-scale e2e wall-clock — see
+    session.get_spark), and every session caps plan-string length so a
+    deep epoch plan can't cost the driver seconds per explain at any
+    scale. Production defaults keep AQE on; bench.py exercises that path."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert int(spark.conf.get("spark.sql.maxPlanStringLength")) == 64 * 1024
+
+
 def test_frontier_next_has_no_full_frontier_dedup(spark, site_df, robots_df, seeds_df, tmp_path_factory):
     """VERDICT r2 #3: frontier' must not dropDuplicates the whole union —
     only the `discovered` delta can self-collide, so the dedup (a scoped

@@ -16,7 +16,7 @@ def _run(workdir, epochs, *extra):
     # multiply across the ~40 plan shapes per epoch and time the test
     # out. Interpreted evaluation is strictly faster at this scale; the
     # production default (codegen on) is untouched.
-    env = dict(os.environ, SPARK_GRAFT_CODEGEN="off")
+    env = dict(os.environ, SPARK_GRAFT_CODEGEN="off", SPARK_GRAFT_AQE="off")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "run_crawl.py"),
          "--workdir", workdir, "--epochs", str(epochs), "--cores", "4", *extra],
@@ -65,7 +65,7 @@ def test_spark_submit_pyfiles(tmp_path):
                     zf.write(full, os.path.relpath(full, REPO))
     shutil.copy(os.path.join(REPO, "run_crawl.py"), tmp_path)
 
-    env = dict(os.environ, SPARK_GRAFT_CODEGEN="off")
+    env = dict(os.environ, SPARK_GRAFT_CODEGEN="off", SPARK_GRAFT_AQE="off")
     env.pop("SPARK_GRAFT_CPUS", None)  # the submitted --master must win
     env.pop("PYTHONPATH", None)
     out = subprocess.run(
