@@ -76,6 +76,7 @@ def repair_duplicate_indexes(
     id_col: str = "index",
     floor_value: int = 0,
     order_cols: tuple[str, ...] = ("name", "price"),
+    block_cap: int = 4_000_000,
 ) -> DataFrame:
     """D2 — duplicate-index repair (scrape_shoprite.py:551-571,
     scrape_pnp.py:318-338, scrape_checkers.py:553-573,
@@ -91,20 +92,28 @@ def repair_duplicate_indexes(
     (``order_cols``, ``id_col``) — a total order, reproducible under
     any parallelism (§2.9).
 
-    Scale shape (VERDICT r3 next #7): the resequencing runs through
-    ``global_sequence`` — the three-level distributed prefix-sum — on a
-    single lexicographically order-preserving packed key, so there is
-    NO single-partition global window even when the duplicate subset is
-    large. String order columns are \\x00-terminated (field-wise order
-    == concatenated order); integral columns are zero-padded to fixed
-    width (valid for the reference's non-negative ids/prices). Any
-    other column type falls back to the bounded dupes-only global
-    window.
+    Scale shape (VERDICT r3 next #7, r4 #3): the resequencing is HYBRID
+    on the measured duplicate-subset size (one ``count()`` — a pure
+    function of the input, so the switch is deterministic and
+    resume/replay parity holds):
+
+    - ``≤ block_cap`` duplicates → ONE bounded single-task window over
+      just the dupes (the common case — dupes are a minority, and the
+      distributed form's ~4 extra shuffles measured 3–4× slower
+      locally, VERDICT r4 #3);
+    - larger → ``global_sequence``, the three-level distributed
+      prefix-sum over a lexicographically order-preserving packed key —
+      no single-partition window even when ~every row is a duplicate.
+      String order columns are \\x00-terminated (field-wise order ==
+      concatenated order); integral columns are zero-padded to fixed
+      width (valid for the reference's non-negative ids/prices). Any
+      other column type falls back to the bounded window.
     """
     from retailer_scrapers_spark.operators.frontier import global_sequence
 
     w_cnt = Window.partitionBy(id_col)
-    marked = df.withColumn("__cnt", F.count(F.lit(1)).over(w_cnt))
+    # persist: keep/dupes/base/count all read the same windowed frame
+    marked = df.withColumn("__cnt", F.count(F.lit(1)).over(w_cnt)).persist()
     keep = marked.filter(F.col("__cnt") == 1).drop("__cnt")
     dupes = marked.filter(F.col("__cnt") > 1).drop("__cnt")
 
@@ -117,7 +126,9 @@ def repair_duplicate_indexes(
     dtypes = dict(df.dtypes)
     integral = {"tinyint", "smallint", "int", "bigint"}
     key_cols = (*order_cols, id_col)
-    if all(dtypes[c] == "string" or dtypes[c] in integral for c in key_cols):
+    packable = all(dtypes[c] == "string" or dtypes[c] in integral for c in key_cols)
+    n_dupes = dupes.count()
+    if packable and n_dupes > block_cap:
         parts = []
         for c in key_cols:
             col = F.col(c)
@@ -139,7 +150,7 @@ def repair_duplicate_indexes(
             .withColumn(id_col, F.row_number().over(w_seq) + F.col("m"))
             .drop("m")
         )
-    return keep.unionByName(reassigned)
+    return unpersist_when_collected(keep.unionByName(reassigned), marked)
 
 
 # ---------------------------------------------------------------------------
@@ -256,17 +267,19 @@ def minhash_lsh_pairs(
     (fraction of matching signature positions).
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # persist: the signature table feeds the banding AND the two
+    # per-unique-pair signature joins below — without the cache the
+    # shingle explode + 32-min aggregation would run three times
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist()
     banded = sigs.select(
         id_col,
-        "minhash",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"), F.xxhash64(F.slice("minhash", b * rows + 1, rows).cast("string")).alias("bucket"))
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select(id_col, "minhash", "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket")
     if bucket_cap is not None:
         counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bn"))
         counts = counts.observe(
@@ -276,20 +289,30 @@ def minhash_lsh_pairs(
         )
         small = counts.filter(F.col("__bn") <= bucket_cap).select("band", "bucket")
         banded = banded.join(small, ["band", "bucket"])
-    left = banded.select(F.col(id_col).alias("a"), F.col("minhash").alias("sig_a"), "band", "bucket")
-    right = banded.select(F.col(id_col).alias("b"), F.col("minhash").alias("sig_b"), "band", "bucket")
-    # compute the 8-byte estimate BEFORE the pair-dedup exchange so the
-    # dropDuplicates shuffle carries (a, b, est) instead of both 32-long
-    # signature arrays (~512 B/row → ~60× less exchange payload; VERDICT
-    # r3 #5 / next #6). est is deterministic per (a, b), so whichever
-    # banded occurrence dedup keeps, the value is identical.
-    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)) / F.lit(num_hashes)
-    return (
+    left = banded.select(F.col(id_col).alias("a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("b"), "band", "bucket")
+    # the band self-join + pair dedup carry BARE (a, b) ids (16 B/row —
+    # no signature payload), and the estimate is computed ONCE per
+    # UNIQUE pair by joining each side's signature back afterwards. The
+    # r4 shape computed est before dropDuplicates, paying the 32-element
+    # comparison once per band-collision — a pair colliding in b of the
+    # ``bands`` buckets paid it b times (VERDICT r4 #2, measured ~70%
+    # regression at sf0.1).
+    pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", est.cast("double").alias("est_jaccard"))
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    sig_a = sigs.select(F.col(id_col).alias("a"), F.col("minhash").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("b"), F.col("minhash").alias("sig_b"))
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)) / F.lit(num_hashes)
+    out = (
+        pairs.join(sig_a, "a")
+        .join(sig_b, "b")
+        .select("a", "b", est.cast("double").alias("est_jaccard"))
+    )
+    return unpersist_when_collected(out, sigs)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
