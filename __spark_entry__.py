@@ -1277,11 +1277,16 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # LSH top-k is deterministic given the seed: inline the exact
-    # hyperplane doubles (repr round-trips bit-exactly) and mirror the
+    # hyperplane doubles (float(x)!r round-trips bit-exactly — raw
+    # np.float64 repr breaks under numpy>=2, ADVICE r4) and mirror the
     # engine's bucket/hamming pruning in SQL, so the APPROXIMATE result
     # — pruning and all — sits under the hash check, not just a recall
-    # pin. Both sides fold the dot product left-to-right in IEEE
-    # doubles, so the sign decisions agree exactly.
+    # pin. Sign-at-boundary robustness (ADVICE r4): the plane dot
+    # products are UNROLLED as explicit left-to-right additions —
+    # ((0.0 + e[1]*p1) + e[2]*p2) + … — the exact IEEE sequence Spark's
+    # aggregate() fold performs, so the >= 0 decisions are bit-identical
+    # by construction instead of resting on DuckDB's list_dot_product
+    # choosing the same summation order.
     import numpy as _np
 
     from retailer_scrapers_spark.operators.similarity import _hyperplanes
@@ -1291,10 +1296,15 @@ def oracle_sql() -> dict[str, str]:
     for _i, _p in enumerate(_planes):
         if float(_np.dot(_p, _QUERY_VEC)) >= 0:
             _qbits |= 1 << _i
+
+    def _dot_unrolled(plane) -> str:
+        expr = "0.0"
+        for _j, _x in enumerate(plane):
+            expr = f"({expr} + CAST(embedding[{_j + 1}] AS DOUBLE) * {float(_x)!r})"
+        return expr
+
     _bucket_terms = " + ".join(
-        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
-        + ", ".join(f"{x!r}::DOUBLE" for x in _p)
-        + f"]) >= 0 THEN {1 << _i} ELSE 0 END)"
+        f"(CASE WHEN {_dot_unrolled(_p)} >= 0 THEN {1 << _i} ELSE 0 END)"
         for _i, _p in enumerate(_planes)
     )
     o["ann_lsh_topk"] = f"""
@@ -1403,7 +1413,7 @@ def oracle_sql() -> dict[str, str]:
 
     # rows-only (engine-hash / LSH-recall / UDF-pipeline ops):
     #   minhash_lsh_near_dup, simhash_fingerprints, doc_fingerprint,
-    #   ann_lsh_topk, ann_ivf_topk, embedding_near_dup_lsh,
+    #   ann_ivf_topk, embedding_near_dup_lsh,
     #   image_phash_pipeline, image_near_dup_rows, frame_sample_rows,
     #   parse_html_rows, parse_pnp_rows, politeness_schedule_rows,
     #   hll_distinct_users and tdigest_value_quantiles (approximate

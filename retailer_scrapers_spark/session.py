@@ -60,10 +60,19 @@ def get_spark(
         codegen = os.environ.get("SPARK_GRAFT_CODEGEN", "on").lower() not in ("off", "0", "false")
     if aqe is None:
         aqe = os.environ.get("SPARK_GRAFT_AQE", "on").lower() not in ("off", "0", "false")
-    if cores is None and "PYSPARK_GATEWAY_PORT" in os.environ and "SPARK_GRAFT_CPUS" not in os.environ:
+    if cores is None and "PYSPARK_GATEWAY_PORT" in os.environ:
         # Launched by spark-submit (the gateway JVM already carries
-        # --master/--py-files): respect the submitted master instead of
-        # overriding it — this is the north_rule's deployment path.
+        # --master/--py-files): ALWAYS respect the submitted master —
+        # this is the north_rule's deployment path. An ambient
+        # SPARK_GRAFT_CPUS must not silently convert a cluster job into
+        # local mode (ADVICE r4: the env var is a local-dev knob only).
+        if "SPARK_GRAFT_CPUS" in os.environ:
+            import warnings
+
+            warnings.warn(
+                "SPARK_GRAFT_CPUS is ignored under spark-submit; the submitted --master wins",
+                stacklevel=2,
+            )
         master = None
     elif cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -71,14 +80,19 @@ def get_spark(
         master = cores
     elif cores is not None:
         master = f"local[{cores}]"
-    if shuffle_partitions is None:
-        digits = "".join(c for c in master if c.isdigit()) if master else ""
+    if shuffle_partitions is None and master is not None and master.startswith("local"):
+        # local mode: one shuffle partition per core (the digits in
+        # local[n]; local[*] → the box's core count)
+        digits = "".join(c for c in master if c.isdigit())
         shuffle_partitions = int(digits) if digits else (os.cpu_count() or 8)
+    # On a submitted/cluster master, leave spark.sql.shuffle.partitions
+    # UNSET (Spark default 200 + AQE coalescing): sizing data-scale
+    # shuffles from the DRIVER box's cpu_count would silently pin a
+    # 1000-executor job to ~8 partitions (ADVICE r4).
 
     builder = (
         (SparkSession.builder.master(master) if master else SparkSession.builder)
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -94,6 +108,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     if not codegen:
         builder = builder.config("spark.sql.codegen.wholeStage", "false").config(
             "spark.sql.codegen.factoryMode", "NO_CODEGEN"
