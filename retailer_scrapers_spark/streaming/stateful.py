@@ -31,6 +31,8 @@ def stateful_politeness(stream: DataFrame, delay_ms: int = 5000) -> DataFrame:
     per-host delay that persists across micro-batches."""
 
     def schedule(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        import numpy as np
+
         (host,) = key
         # first-ever fetch for a host runs immediately with wait 0 —
         # the batch scheduler's contract (operators/politeness.py)
@@ -39,12 +41,20 @@ def stateful_politeness(stream: DataFrame, delay_ms: int = 5000) -> DataFrame:
         out = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values(["priority", "seq"], ascending=[False, True], kind="mergesort")
-            offsets, waits = [], []
-            for _ in range(len(pdf)):
-                sched = last + delay_ms if have_prev else 0
-                waits.append(sched - last if have_prev else 0)
-                offsets.append(sched)
-                last, have_prev = sched, True
+            n = len(pdf)
+            if n == 0:
+                continue
+            # closed-form cumsum (VERDICT r4 #6 — no per-row Python loop):
+            # with prior state every fetch waits one delay (sched_i =
+            # last + (i+1)·delay); a fresh host runs its first fetch
+            # immediately at offset 0, then the same spacing
+            if have_prev:
+                offsets = last + delay_ms * np.arange(1, n + 1, dtype=np.int64)
+                waits = np.full(n, delay_ms, dtype=np.int64)
+            else:
+                offsets = delay_ms * np.arange(n, dtype=np.int64)
+                waits = np.concatenate([np.zeros(1, dtype=np.int64), np.full(n - 1, delay_ms, dtype=np.int64)])
+            last, have_prev = int(offsets[-1]), True
             out.append(
                 pd.DataFrame(
                     {

@@ -84,19 +84,23 @@ def test_insert_overflow_raises_runtimeerror_on_driver(spark):
 
 def test_epoch_loop_rebuilds_on_slice_overflow(spark, site_df, robots_df, seeds_df, monkeypatch, tmp_path_factory):
     """The crawl must survive a skewed-slice overflow that the aggregate
-    headroom check could not predict: insert_into_cuckoo raising
-    RuntimeError falls back to a doubled-capacity rebuild."""
+    headroom check could not predict: the delta upsert raising
+    RuntimeError falls back to a doubled-capacity rebuild. The delta
+    path is `upsert_cuckoo_state(state, …)` with a non-None state; the
+    rebuild passes state=None — the wrapper fails only the former."""
     from retailer_scrapers_spark.operators import cuckoo as C
-    from retailer_scrapers_spark.plans import crawl as crawl_mod
     from retailer_scrapers_spark.plans.crawl import CrawlConfig, CrawlPlan
 
     calls = {"n": 0}
+    real = C.upsert_cuckoo_state
 
-    def always_overflow(filt, df, url_col="url_canon"):
-        calls["n"] += 1
-        raise RuntimeError("cuckoo filter over capacity")
+    def overflow_on_delta(state, df, url_col="url_canon", capacity=1 << 16, n_slices=None):
+        if state is not None:
+            calls["n"] += 1
+            raise RuntimeError("cuckoo filter over capacity")
+        return real(state, df, url_col=url_col, capacity=capacity, n_slices=n_slices)
 
-    monkeypatch.setattr(C, "insert_into_cuckoo", always_overflow)
+    monkeypatch.setattr(C, "upsert_cuckoo_state", overflow_on_delta)
     work = str(tmp_path_factory.mktemp("cuckoo_overflow"))
     cfg = CrawlConfig(workdir=work, epochs=3, per_host_budget=6, filter_kind="cuckoo", bloom_bits=1 << 14)
     plan = CrawlPlan(spark, cfg, site_df, robots_df)
@@ -127,3 +131,58 @@ def test_insert_into_cuckoo_delta(spark):
     back = SlicedCuckoo.deserialize(updated.serialize())
     assert back.contains_hashes(np.array(hashes, dtype=np.int64)).all()
     assert back.n_items == updated.n_items
+
+
+def test_upsert_cuckoo_state_build_and_delta(spark):
+    """VERDICT r4 #1 (cuckoo side): build + delta-insert with the filter
+    as a per-slice state DataFrame — no whole-filter collect. The state
+    rows probe through the same slice-routed path as the Bloom, with
+    exact membership (no false negatives) and untouched-slice blobs
+    passing through byte-identical."""
+    from pyspark.sql import functions as F
+
+    from retailer_scrapers_spark.operators.bloom import probe_filter_state
+    from retailer_scrapers_spark.operators.cuckoo import upsert_cuckoo_state
+
+    seen = spark.createDataFrame([(f"https://s.test/{i}",) for i in range(2000)], "url_canon string")
+    state = upsert_cuckoo_state(None, seen, capacity=1 << 13, n_slices=8)
+    rows = {r.partition_id: r for r in state.collect()}
+    assert sum(r.n_items for r in rows.values()) == 2000
+    state = spark.createDataFrame(list(rows.values()))  # pin (lazy plans recompute)
+
+    # no false negatives through the slice-routed probe
+    probed = probe_filter_state(seen, state, n_slices=8)
+    assert probed.filter(~F.col("__maybe_seen")).count() == 0
+
+    # delta insert: new keys become members; slices with no delta keys
+    # pass through byte-identical
+    delta = spark.createDataFrame([(f"https://d.test/{i}",) for i in range(50)], "url_canon string")
+    state2_rows = {r.partition_id: r for r in upsert_cuckoo_state(state, delta, capacity=1 << 13, n_slices=8).collect()}
+    assert sum(r.n_items for r in state2_rows.values()) == 2050
+    state2 = spark.createDataFrame(list(state2_rows.values()))
+    both = seen.unionByName(delta)
+    assert probe_filter_state(both, state2, n_slices=8).filter(~F.col("__maybe_seen")).count() == 0
+    from retailer_scrapers_spark.operators.bloom import with_url_hashes
+    touched = {
+        r[0] & 7 for r in with_url_hashes(delta).select("__h1").collect()
+    }
+    for sid, r in state2_rows.items():
+        if sid not in touched:
+            assert bytes(r.filter_bytes) == bytes(rows[sid].filter_bytes)
+
+
+def test_upsert_cuckoo_state_overflow_raises(spark):
+    """A slice overflow inside the cogroup task surfaces at action time
+    with the documented message the epoch loop's fallback matches."""
+    import pytest as _pytest
+
+    from retailer_scrapers_spark.operators.cuckoo import upsert_cuckoo_state
+
+    tiny = upsert_cuckoo_state(
+        None, spark.createDataFrame([("https://h.test/x",)], "url_canon string"),
+        capacity=128, n_slices=2,
+    )
+    tiny = spark.createDataFrame(tiny.collect())
+    flood = spark.createDataFrame([(f"https://h.test/f/{i}",) for i in range(5000)], "url_canon string")
+    with _pytest.raises(Exception, match="over capacity"):
+        upsert_cuckoo_state(tiny, flood, capacity=128, n_slices=2).collect()

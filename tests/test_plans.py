@@ -220,3 +220,44 @@ def test_run_epoch_has_no_complement_anti_joins():
     assert 'unseen.join(selected' not in src and 'in_window.join(unseen' not in src
     assert "split_topk_per_host" in src
     assert "filter_unseen_split" in src
+
+
+def test_frontier_next_exchange_count_bounded(spark, site_df, robots_df, seeds_df, tmp_path_factory):
+    """VERDICT r4 #9: pin the shuffle shape of one epoch's frontier'
+    plan so a refactor can't silently reintroduce a frontier-sized
+    exchange (the r3 backlog anti-join added one per complement). Plan
+    text re-expands shared subtrees, so the count is an upper BOUND
+    pinned to the current shape, not a node census — any new shuffle in
+    any subtree strictly increases it."""
+    from retailer_scrapers_spark.plans.catalog import SnapshotCatalog
+    from retailer_scrapers_spark.plans.crawl import CrawlConfig, CrawlPlan
+
+    captured = {}
+    orig_write = SnapshotCatalog.write
+
+    def spy_write(self, df, table, epoch, meta=None):
+        captured.setdefault(table, df)
+        return orig_write(self, df, table, epoch, meta)
+
+    work = str(tmp_path_factory.mktemp("plan_exchange"))
+    plan = CrawlPlan(spark, CrawlConfig(workdir=work, epochs=1), site_df, robots_df)
+    SnapshotCatalog.write, saved = spy_write, SnapshotCatalog.write
+    try:
+        plan.run(seeds_df, epochs=1)
+    finally:
+        SnapshotCatalog.write = saved
+    phys = captured["frontier"]._jdf.queryExecution().executedPlan().toString()
+    n_exchange = phys.count("Exchange")
+    print(f"frontier' exchanges: {n_exchange}")
+    assert n_exchange <= EXPECTED_FRONTIER_EXCHANGES, (
+        f"frontier' plan grew to {n_exchange} exchanges "
+        f"(pinned ≤ {EXPECTED_FRONTIER_EXCHANGES}) — a new shuffle entered the epoch loop"
+    )
+
+
+# measured 70 on the current epoch shape (slice-routed probe, rank-split
+# top-k, prefix-sum seq; plan text re-expands the frontier subtree ~5×,
+# so each real shuffle counts several times). The r3 backlog anti-join
+# shape measured strictly higher — any added per-subtree shuffle moves
+# this by ≥5.
+EXPECTED_FRONTIER_EXCHANGES = 72
