@@ -137,6 +137,29 @@ def frontier_throughput(spark, n_urls: int) -> dict:
     t_sched = time.time() - t3
 
     assert n_out == n_urls - n_urls // 2, f"dedup wrong: {n_out}"
+
+    # the SLICE-ROUTED transport (the epoch loop's actual path at 10^10
+    # scale, where the ~17.9 GB filter cannot broadcast): same pipeline,
+    # filter held as a per-slice state DataFrame, probe routes each URL
+    # to its slice's cogroup task. At this (2M-URL / ~17 MB-filter)
+    # scale the broadcast probe above is legitimately optimal — this
+    # number documents the crossover cost, not a regression.
+    from retailer_scrapers_spark.operators.bloom import build_bloom_state, filter_unseen_split_state
+
+    n_slices = 32
+    t4 = time.time()
+    state = build_bloom_state(seen, m_bits=m_bits, k_hashes=10, n_slices=n_slices)
+    state = state.persist()
+    state.count()
+    t_sbuild = time.time() - t4
+    t5 = time.time()
+    unseen_s, _dup = filter_unseen_split_state(frontier, state, seen, n_slices=n_slices)
+    n_out_s = topk_per_host(unseen_s, per_host_budget=1 << 30).count()
+    t_sdedup = time.time() - t5
+    state.unpersist()
+    assert n_out_s == n_out, f"sliced dedup wrong: {n_out_s}"
+    sliced_total = t_canon + t_sbuild + t_sdedup + t_sched
+
     total = t_canon + t_build + t_dedup + t_sched
     return {
         "n_urls": n_urls,
@@ -148,6 +171,9 @@ def frontier_throughput(spark, n_urls: int) -> dict:
         "n_scheduled": n_sched,
         "total_sec": round(total, 3),
         "urls_per_sec": round(n_urls / total, 1),
+        "sliced_state_build_sec": round(t_sbuild, 3),
+        "sliced_dedup_topk_sec": round(t_sdedup, 3),
+        "sliced_urls_per_sec": round(n_urls / sliced_total, 1),
     }
 
 
@@ -219,7 +245,7 @@ def calibration(spark, sf_dir: str) -> float:
         ((F.col("id") * 2654435761) % 1000003).alias("h")
     ).groupBy((F.col("h") % 64).alias("g")).agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n")).collect()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
-        F.sum(F.xxhash64("l_comment")).alias("h")
+        F.sum(F.xxhash64("l_returnflag", "l_extendedprice", "l_shipdate") % 1000003).alias("h")
     ).collect()
     return round(time.time() - t0, 3)
 
@@ -450,6 +476,13 @@ def scaling_report() -> None:
     eff_8_32 = (tput["32"] / tput["8"]) / 4.0
     core_eff_2_8 = (core["8"] / core["2"]) / 4.0
     os.makedirs("BENCH", exist_ok=True)
+    # rewrite only the headline section; keep appended "## …" sections
+    # (round context, sweeps) intact
+    tail = ""
+    if os.path.exists("BENCH/BASELINE.md"):
+        old = open("BENCH/BASELINE.md").read()
+        idx = old.find("\n## ")
+        tail = old[idx:] if idx >= 0 else ""
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH — measured engine numbers\n\n"
@@ -473,6 +506,7 @@ def scaling_report() -> None:
             f"| 2 → 8 cores | **{eff_2_8:.3f}** | {ceil_2_8:.3f} |\n"
             f"| 8 → 32 cores | {eff_8_32:.3f} | {ceil_8_32:.3f} |\n\n"
             "Target ≥ 0.8 on an N→4N pair within the hardware's ceiling.\n"
+            + tail
         )
     print(
         json.dumps(
