@@ -8,8 +8,8 @@ Per epoch:
   skew salting (R7) → politeness schedule (R1, simulated clock) →
   fetch (S1/S4/S5/S6 via site join) → retry split (R4) → parse
   (P1–P3) → stage products/enrichments → discover links → frontier' →
-  checkpoint (R8: frontier, seen, Bloom bytes, fetch log, metrics —
-  each an atomic snapshot).
+  checkpoint (R8: frontier, seen, per-slice filter state, fetch log,
+  metrics — each an atomic snapshot).
 
 ``finalize`` then assembles the reference-compatible products table:
 J1 zip-join enrichment, C2 promo derivation, S7 offer scalar, image
