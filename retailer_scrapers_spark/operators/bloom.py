@@ -474,7 +474,11 @@ def probe_filter_state(
     from pyspark.sql.types import BooleanType, StructField, StructType
 
     if n_slices is None:
-        n_slices = state.select("n_slices").first()[0]
+        head = state.select("n_slices").head(1)
+        if not head:
+            # empty state + unknown slicing: nothing can probe positive
+            return df.withColumn(out_col, F.lit(False))
+        n_slices = head[0][0]
     shift = int(n_slices).bit_length() - 1
     # cogroup keys MUST share one type: a long-typed partition_id (e.g.
     # schema inference on reload) silently mis-routes groups — slices

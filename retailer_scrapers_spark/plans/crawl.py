@@ -78,7 +78,16 @@ class CrawlConfig:
     logical_now_s: int = 5 * 3600  # 05:00 UTC — inside the visit window
     bloom_bits: int = 1 << 18
     bloom_hashes: int = 7
-    bloom_slices: int = 8  # power of two; per-slice state rows in checkpoint
+    # membership-filter slice count (power of two; per-slice state rows
+    # in the checkpoint). None → next_pow2(defaultParallelism) at plan
+    # construction: the slice-routed probe runs one Arrow task per
+    # slice, so a pinned small count would cap probe parallelism (and
+    # grow per-slice blobs past Arrow-group comfort) on a big cluster —
+    # at 10^10 URLs / 1e-3 fpp the filter is ~17.9 GB, which wants
+    # ≥1024 slices of ~17 MB, not 8 of 2.2 GB. On resume the value is
+    # re-derived from the checkpointed state (hash routing must match
+    # the build even across a cluster resize).
+    bloom_slices: int | None = None
     filter_kind: str = "bloom"  # "bloom" (OR-mergeable) | "cuckoo" (deletable)
     # "epoch": scheduler clock restarts each epoch (reference: one run per
     # day). "continuous": per-(host,salt) politeness wait carries across
@@ -102,6 +111,9 @@ class CrawlPlan:
         self.site = site
         self.robots = robots
         self.catalog = SnapshotCatalog(cfg.workdir, spark)
+        from retailer_scrapers_spark.operators.bloom import _next_pow2
+
+        self.n_slices = cfg.bloom_slices or _next_pow2(spark.sparkContext.defaultParallelism)
 
     # -- state bootstrap -------------------------------------------------------
     def _init_frontier(self, seeds: DataFrame) -> DataFrame:
@@ -164,7 +176,7 @@ class CrawlPlan:
         # task and is probed against only that slice's few-MB blob — no
         # whole-filter broadcast (~17.9 GB at 10^10 URLs / 1e-3 fpp).
         unseen, dup_seen = filter_unseen_split_state(
-            in_window, filter_state, seen, pin=pin, n_slices=cfg.bloom_slices
+            in_window, filter_state, seen, pin=pin, n_slices=self.n_slices
         )
         log_parts.append(dup_seen.select("url_canon", "host", "attempt").withColumn("result", F.lit("dup_seen")))
 
@@ -360,7 +372,7 @@ class CrawlPlan:
                     None,
                     seen_next.toDF("url_canon"),
                     capacity=max(cfg.bloom_bits, 2 * (items + n_new)),
-                    n_slices=cfg.bloom_slices,
+                    n_slices=self.n_slices,
                 )
 
             if filter_state is None:
@@ -368,7 +380,7 @@ class CrawlPlan:
                 # count, so a first epoch can never overflow
                 self.catalog.write(
                     upsert_cuckoo_state(
-                        None, newly_seen.toDF("url_canon"), capacity=cfg.bloom_bits, n_slices=cfg.bloom_slices
+                        None, newly_seen.toDF("url_canon"), capacity=cfg.bloom_bits, n_slices=self.n_slices
                     ),
                     "seen_filter",
                     epoch,
@@ -387,7 +399,7 @@ class CrawlPlan:
                                 filter_state,
                                 newly_seen.toDF("url_canon"),
                                 capacity=cfg.bloom_bits,
-                                n_slices=cfg.bloom_slices,
+                                n_slices=self.n_slices,
                             ),
                             "seen_filter",
                             epoch,
@@ -401,7 +413,7 @@ class CrawlPlan:
                         self.catalog.write(_rebuild(items), "seen_filter", epoch)
         else:
             delta_state = build_bloom_state(
-                newly_seen, "url_canon", cfg.bloom_bits, cfg.bloom_hashes, n_slices=cfg.bloom_slices
+                newly_seen, "url_canon", cfg.bloom_bits, cfg.bloom_hashes, n_slices=self.n_slices
             )
             next_state = delta_state if filter_state is None else merge_filter_state(filter_state, delta_state)
             self.catalog.write(next_state, "seen_filter", epoch)
@@ -438,6 +450,14 @@ class CrawlPlan:
             # reconstruction (an extra-epoch filter after a torn commit
             # only adds false positives, which the exact verify absorbs)
             filter_state = self.catalog.read("seen_filter")
+            # hash routing (__slice = h1 & (n_slices−1)) must match the
+            # slicing the state was BUILT with: re-derive it from the
+            # checkpoint, so a resume on a resized cluster (different
+            # defaultParallelism ⇒ different dynamic default) can't
+            # mis-route probes into the wrong slice
+            head = filter_state.select("n_slices").head(1)
+            if head:
+                self.n_slices = int(head[0][0])
         for epoch in range(start, epochs):
             if frontier.isEmpty():
                 break

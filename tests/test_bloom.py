@@ -191,3 +191,15 @@ def test_state_probe_survives_long_typed_partition_id(spark):
         .count()
     )
     assert fn == 0
+
+
+def test_state_probe_empty_state_unknown_slicing(spark):
+    """Library edge: an EMPTY state with n_slices unspecified must probe
+    all-False (nothing is in an empty filter), not crash inferring the
+    slice count from a row that isn't there."""
+    from retailer_scrapers_spark.operators.bloom import STATE_DDL, probe_filter_state
+
+    urls = _bench_urls(spark, n=50)
+    empty = spark.createDataFrame([], STATE_DDL)
+    probed = probe_filter_state(urls.select("url_canon"), empty).collect()
+    assert len(probed) == 50 and not any(r["__maybe_seen"] for r in probed)

@@ -204,3 +204,33 @@ def test_compacted_crawl_matches_uncompacted(spark, site_df, robots_df, seeds_df
     import os
 
     assert os.path.isdir(f"{w2}/seen__compacted")  # maintenance actually ran
+
+
+def test_resume_rederives_slice_count_from_state(
+    spark, site_df, robots_df, seeds_df, baseline_crawl_10x6, tmp_path_factory
+):
+    """A resume must probe with the slicing the checkpointed filter was
+    BUILT with, not the resuming cluster's dynamic default — hash
+    routing (__slice = h1 & (n_slices−1)) diverging from the build
+    mis-routes probes (false negatives). Crawl with an explicit 4-slice
+    filter, "crash", resume with bloom_slices=None (dynamic default 8 on
+    the local[8] test session): the resumed plan must re-derive 4 and
+    finish with the exact baseline seen set."""
+    work = str(tmp_path_factory.mktemp("resize_resume"))
+    CrawlPlan(
+        spark, CrawlConfig(workdir=work, epochs=10, per_host_budget=6, bloom_slices=4), site_df, robots_df
+    ).run(seeds_df, epochs=2)  # "crash" after epoch 1
+
+    plan2 = CrawlPlan(
+        spark, CrawlConfig(workdir=work, epochs=10, per_host_budget=6, bloom_slices=None), site_df, robots_df
+    )
+    assert plan2.resume_epoch() == 2
+    assert plan2.n_slices == 8  # dynamic default before state is read
+    plan2.run(seeds_df, epochs=10)
+    assert plan2.n_slices == 4  # re-derived from the checkpoint
+
+    cat1 = SnapshotCatalog(baseline_crawl_10x6, spark)
+    cat2 = SnapshotCatalog(work, spark)
+    seen1 = {r.url_canon for r in cat1.read_all("seen").collect()}
+    seen2 = {r.url_canon for r in cat2.read_all("seen").collect()}
+    assert seen1 == seen2
