@@ -64,7 +64,7 @@ HEADLINE = [
 ]
 
 
-def frontier_throughput(spark, n_urls: int) -> dict:
+def frontier_throughput(spark, n_urls: int, warm_pass: bool = True) -> dict:
     """URLs fetched+deduped/sec over a synthetic frontier of ``n_urls``.
 
     Pipeline: generate → canonicalize → Bloom(seen half) → exact
@@ -100,80 +100,102 @@ def frontier_throughput(spark, n_urls: int) -> dict:
     warm = spark.range(spark.sparkContext.defaultParallelism * 4).select(F.concat(F.lit("https://w.test/"), F.col("id").cast("string")).alias("url_canon"))
     build_bloom(warm.repartition(spark.sparkContext.defaultParallelism), m_bits=1 << 10, k_hashes=3)
 
-    # timed stage 1: canonicalize the incoming frontier (F8)
-    t0 = time.time()
-    frontier = (
-        canonicalize_urls(raw, "url")
-        .select("url_canon", "host", F.col("id").alias("seq"), F.lit(1.0).alias("priority"))
-        .persist()
-    )
-    frontier.count()
-    t_canon = time.time() - t0
-
-    # timed stage 2: per-partition Bloom build over the seen set + merge
-    t1 = time.time()
-    m_bits = max(64, int(-(n_urls // 2) * math.log(1e-3) / (math.log(2) ** 2)))
-    bloom = build_bloom(seen, m_bits=m_bits, k_hashes=10)
-    t_build = time.time() - t1
-
-    # timed stage 3: Bloom-prefiltered exact dedup (D6) + host top-k (R6)
-    t2 = time.time()
-    unseen = filter_unseen(frontier, bloom, seen)
-    survivors = topk_per_host(unseen, per_host_budget=1 << 30)
-    n_out = survivors.count()
-    t_dedup = time.time() - t2
-
-    # timed stage 4: skew salting (R7) + per-(host,salt) politeness
-    # schedule (R1) over the epoch's selected fetch set
+    from retailer_scrapers_spark.operators.bloom import build_bloom_state, filter_unseen_split_state
     from retailer_scrapers_spark.operators.frontier import salt_hot_hosts
     from retailer_scrapers_spark.operators.politeness import politeness_schedule
 
-    t3 = time.time()
-    per_host = max(n_urls // n_hosts, 8)
-    selected = topk_per_host(unseen, per_host_budget=per_host)
-    salted = salt_hot_hosts(selected, target_rows_per_task=1024)
-    sched = politeness_schedule(salted, epoch_budget_s=1e12, default_delay_s=5.0)
-    n_sched = sched.count()
-    t_sched = time.time() - t3
+    def one_pass() -> dict:
+        # timed stage 1: canonicalize the incoming frontier (F8)
+        t0 = time.time()
+        frontier = (
+            canonicalize_urls(raw, "url")
+            .select("url_canon", "host", F.col("id").alias("seq"), F.lit(1.0).alias("priority"))
+            .persist()
+        )
+        frontier.count()
+        t_canon = time.time() - t0
 
-    assert n_out == n_urls - n_urls // 2, f"dedup wrong: {n_out}"
+        # timed stage 2: per-partition Bloom build over the seen set + merge
+        t1 = time.time()
+        m_bits = max(64, int(-(n_urls // 2) * math.log(1e-3) / (math.log(2) ** 2)))
+        bloom = build_bloom(seen, m_bits=m_bits, k_hashes=10)
+        t_build = time.time() - t1
 
-    # the SLICE-ROUTED transport (the epoch loop's actual path at 10^10
-    # scale, where the ~17.9 GB filter cannot broadcast): same pipeline,
-    # filter held as a per-slice state DataFrame, probe routes each URL
-    # to its slice's cogroup task. At this (2M-URL / ~17 MB-filter)
-    # scale the broadcast probe above is legitimately optimal — this
-    # number documents the crossover cost, not a regression.
-    from retailer_scrapers_spark.operators.bloom import build_bloom_state, filter_unseen_split_state
+        # timed stage 3: Bloom-prefiltered exact dedup (D6) + host top-k (R6)
+        t2 = time.time()
+        unseen = filter_unseen(frontier, bloom, seen)
+        survivors = topk_per_host(unseen, per_host_budget=1 << 30)
+        n_out = survivors.count()
+        t_dedup = time.time() - t2
 
-    n_slices = 32
-    t4 = time.time()
-    state = build_bloom_state(seen, m_bits=m_bits, k_hashes=10, n_slices=n_slices)
-    state = state.persist()
-    state.count()
-    t_sbuild = time.time() - t4
-    t5 = time.time()
-    unseen_s, _dup = filter_unseen_split_state(frontier, state, seen, n_slices=n_slices)
-    n_out_s = topk_per_host(unseen_s, per_host_budget=1 << 30).count()
-    t_sdedup = time.time() - t5
-    state.unpersist()
-    assert n_out_s == n_out, f"sliced dedup wrong: {n_out_s}"
-    sliced_total = t_canon + t_sbuild + t_sdedup + t_sched
+        # timed stage 4: skew salting (R7) + per-(host,salt) politeness
+        # schedule (R1) over the epoch's selected fetch set
+        t3 = time.time()
+        per_host = max(n_urls // n_hosts, 8)
+        selected = topk_per_host(unseen, per_host_budget=per_host)
+        salted = salt_hot_hosts(selected, target_rows_per_task=1024)
+        sched = politeness_schedule(salted, epoch_budget_s=1e12, default_delay_s=5.0)
+        n_sched = sched.count()
+        t_sched = time.time() - t3
 
-    total = t_canon + t_build + t_dedup + t_sched
+        assert n_out == n_urls - n_urls // 2, f"dedup wrong: {n_out}"
+
+        # the SLICE-ROUTED transport (the epoch loop's actual path at 10^10
+        # scale, where the ~17.9 GB filter cannot broadcast): same pipeline,
+        # filter held as a per-slice state DataFrame, probe routes each URL
+        # to its slice's cogroup task. At this (2M-URL / ~17 MB-filter)
+        # scale the broadcast probe above is legitimately optimal — this
+        # number documents the crossover cost, not a regression.
+        n_slices = 32
+        t4 = time.time()
+        state = build_bloom_state(seen, m_bits=m_bits, k_hashes=10, n_slices=n_slices)
+        state = state.persist()
+        state.count()
+        t_sbuild = time.time() - t4
+        t5 = time.time()
+        unseen_s, _dup = filter_unseen_split_state(frontier, state, seen, n_slices=n_slices)
+        n_out_s = topk_per_host(unseen_s, per_host_budget=1 << 30).count()
+        t_sdedup = time.time() - t5
+        state.unpersist()
+        frontier.unpersist()
+        assert n_out_s == n_out, f"sliced dedup wrong: {n_out_s}"
+        return {
+            "canon": t_canon, "build": t_build, "dedup": t_dedup, "sched": t_sched,
+            "sbuild": t_sbuild, "sdedup": t_sdedup, "n_sched": n_sched,
+        }
+
+    # pass 1 = COLD (headline, methodology identical to every prior
+    # round); pass 2 = WARM, same plans re-executed — what a long-lived
+    # cluster sees once plan compilation/JIT has amortized. Both are
+    # reported; cross-round comparisons should use cold-vs-cold (plus
+    # calibration_sec), steady-state claims the warm keys.
+    cold = one_pass()
+    warm2 = one_pass() if warm_pass else None
+    total = cold["canon"] + cold["build"] + cold["dedup"] + cold["sched"]
+    sliced_total = cold["canon"] + cold["sbuild"] + cold["sdedup"] + cold["sched"]
+    out_warm = {}
+    if warm2 is not None:
+        total_w = warm2["canon"] + warm2["build"] + warm2["dedup"] + warm2["sched"]
+        sliced_total_w = warm2["canon"] + warm2["sbuild"] + warm2["sdedup"] + warm2["sched"]
+        out_warm = {
+            "total_sec_warm": round(total_w, 3),
+            "urls_per_sec_warm": round(n_urls / total_w, 1),
+            "sliced_urls_per_sec_warm": round(n_urls / sliced_total_w, 1),
+        }
     return {
         "n_urls": n_urls,
         "n_hosts": n_hosts,
-        "canonicalize_sec": round(t_canon, 3),
-        "bloom_build_sec": round(t_build, 3),
-        "dedup_topk_sec": round(t_dedup, 3),
-        "schedule_sec": round(t_sched, 3),
-        "n_scheduled": n_sched,
+        "canonicalize_sec": round(cold["canon"], 3),
+        "bloom_build_sec": round(cold["build"], 3),
+        "dedup_topk_sec": round(cold["dedup"], 3),
+        "schedule_sec": round(cold["sched"], 3),
+        "n_scheduled": cold["n_sched"],
         "total_sec": round(total, 3),
         "urls_per_sec": round(n_urls / total, 1),
-        "sliced_state_build_sec": round(t_sbuild, 3),
-        "sliced_dedup_topk_sec": round(t_sdedup, 3),
+        "sliced_state_build_sec": round(cold["sbuild"], 3),
+        "sliced_dedup_topk_sec": round(cold["sdedup"], 3),
         "sliced_urls_per_sec": round(n_urls / sliced_total, 1),
+        **out_warm,
     }
 
 
@@ -391,7 +413,9 @@ def main() -> None:
         from retailer_scrapers_spark import get_spark
 
         spark = get_spark("bench-frontier", cores=CPUS)
-        res = frontier_throughput(spark, BENCH_N)
+        # one cold pass — keeps the scaling legs' methodology identical
+        # to every committed scaling table
+        res = frontier_throughput(spark, BENCH_N, warm_pass=False)
         print(json.dumps(res))
         spark.stop()
         return
