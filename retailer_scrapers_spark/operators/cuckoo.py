@@ -314,6 +314,16 @@ def upsert_cuckoo_state(
         (sid,) = key  # arrives as a pyarrow scalar
         sid = sid.as_py() if hasattr(sid, "as_py") else sid
         h1 = left.column("__h1").to_numpy(zero_copy_only=False) if left.num_rows else np.array([], dtype=np.int64)
+        if right.num_rows > 1:
+            # ADVICE r5: unlike the Bloom probe (which ORs unmerged
+            # generations), a cuckoo upsert cannot fold multiple state
+            # rows — fingerprints don't retain the key — so silently
+            # taking row 0 would DROP the other generations' entries
+            # (false negatives downstream). Fail loudly instead.
+            raise RuntimeError(
+                f"cuckoo upsert: slice {sid} has {right.num_rows} state rows; "
+                "cuckoo state must be a single merged generation per slice"
+            )
         if right.num_rows:
             cf = CuckooFilter.deserialize(bytes(right.column("filter_bytes")[0].as_py()))
         else:

@@ -127,8 +127,9 @@ def repair_duplicate_indexes(
     integral = {"tinyint", "smallint", "int", "bigint"}
     key_cols = (*order_cols, id_col)
     packable = all(dtypes[c] == "string" or dtypes[c] in integral for c in key_cols)
-    n_dupes = dupes.count()
-    if packable and n_dupes > block_cap:
+    # ADVICE r5: the count job only runs when the hybrid switch actually
+    # depends on it — unpackable keys force the bounded window regardless
+    if packable and dupes.count() > block_cap:
         parts = []
         for c in key_cols:
             col = F.col(c)

@@ -281,11 +281,27 @@ class CrawlPlan:
 
         # frontier' = backlog ∪ window-deferred ∪ budget-overflow ∪ retries ∪ new discoveries
         max_seq = frontier.agg(F.max("seq")).collect()[0][0] or 0
-        discovered = canonicalize_urls(discover_links(ok), "url", "url_canon")
+        discovered = pin(canonicalize_urls(discover_links(ok), "url", "url_canon"))
+        # novelty check with NO shuffle of the big tables (VERDICT r5 #1,
+        # guide §3.1): seen' ∪ frontier keys are SCANNED and semi-joined
+        # against the broadcast discovered delta; discovered then
+        # anti-joins the (≤ delta-sized) matched set. Above the
+        # broadcast cap the exact shuffled anti-joins remain as the
+        # fallback (deterministic switch on the pinned delta's count —
+        # same pattern as the D2 hybrid and the verify flip).
+        from retailer_scrapers_spark.operators.bloom import VERIFY_BROADCAST_MAX_ROWS
+
+        d_keys = discovered.select("url_canon")
+        if discovered.count() <= VERIFY_BROADCAST_MAX_ROWS:
+            big_keys = seen_next.select("url_canon").unionByName(frontier.select("url_canon"))
+            matched = pin(big_keys.join(F.broadcast(d_keys), "url_canon", "left_semi"))
+            discovered = discovered.join(F.broadcast(matched), "url_canon", "left_anti")
+        else:  # pathological delta: exact shuffled fallback
+            discovered = discovered.join(seen_next, "url_canon", "left_anti").join(
+                frontier.select("url_canon"), "url_canon", "left_anti"
+            )
         discovered = (
-            discovered.join(seen_next, "url_canon", "left_anti")
-            .join(frontier.select("url_canon"), "url_canon", "left_anti")
-            .select(
+            discovered.select(
                 "url",
                 "url_canon",
                 "host",
@@ -447,15 +463,23 @@ class CrawlPlan:
             # replayed epoch treat its own fetches as already seen
             seen = self.catalog.read_all("seen", max_epoch=last_f)
             # per-slice filter state resumes AS a DataFrame — no driver
-            # reconstruction (an extra-epoch filter after a torn commit
-            # only adds false positives, which the exact verify absorbs)
-            filter_state = self.catalog.read("seen_filter")
+            # reconstruction. ADVICE r5: cap the filter read at the
+            # frontier's epoch, exactly like `seen`. Reading a torn
+            # commit's epoch-N filter (frontier at N−1) had two hazards:
+            # (a) run_epoch(N) rmtree+renames that same directory
+            # mid-epoch while the final frontier write still holds the
+            # old file scan in its lineage — a recomputed pinned block
+            # (executor loss) would hit deleted part files; (b) in
+            # cuckoo mode the replay re-inserts the same keys,
+            # duplicating fingerprints and inflating capacity pressure.
+            committed = [e for e in self.catalog.committed_epochs("seen_filter") if e <= last_f]
+            filter_state = self.catalog.read("seen_filter", committed[-1]) if committed else None
             # hash routing (__slice = h1 & (n_slices−1)) must match the
             # slicing the state was BUILT with: re-derive it from the
             # checkpoint, so a resume on a resized cluster (different
             # defaultParallelism ⇒ different dynamic default) can't
             # mis-route probes into the wrong slice
-            head = filter_state.select("n_slices").head(1)
+            head = filter_state.select("n_slices").head(1) if filter_state is not None else None
             if head:
                 self.n_slices = int(head[0][0])
         for epoch in range(start, epochs):

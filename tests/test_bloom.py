@@ -193,6 +193,58 @@ def test_state_probe_survives_long_typed_partition_id(spark):
     assert fn == 0
 
 
+def test_exact_verify_has_no_seen_side_exchange(spark):
+    """VERDICT r5 #1: the exact-verify backstop must never SHUFFLE the
+    seen table. The flipped shape scans seen into a BroadcastHashJoin
+    LeftSemi against the broadcast positives keys; the only
+    hash-partitioning Exchange anywhere in the plan is the probe's own
+    slice routing — none keyed on url_canon."""
+    import re
+
+    from retailer_scrapers_spark.operators.bloom import build_bloom_state, filter_unseen_split_state
+
+    urls = _bench_urls(spark, n=2000)
+    seen = urls.filter(F.col("id") % 2 == 0).select("url_canon")
+    state = build_bloom_state(seen, m_bits=1 << 16, k_hashes=7, n_slices=8)
+    unseen, dup = filter_unseen_split_state(urls.select("url_canon"), state, seen, n_slices=8)
+    for df in (unseen, dup):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        for m in re.finditer(r"Exchange hashpartitioning\(([^,)]*)", plan):
+            # probe routing only: the frontier by __slice, the (tiny)
+            # per-slice state rows by partition_id — never url_canon
+            assert "__slice" in m.group(1) or "partition_id" in m.group(1), plan
+    # exactness is untouched by the plan flip
+    truth = {r.url_canon for r in seen.collect()}
+    assert {r.url_canon for r in dup.collect()} == truth
+    assert {r.url_canon for r in unseen.collect()} == {
+        r.url_canon for r in urls.select("url_canon").collect()
+    } - truth
+
+
+def test_probe_rejects_incompatible_state_blobs():
+    """ADVICE r5: a pre-state-DataFrame SCK1 checkpoint or a mis-sized
+    blob must fail loudly, never be probed as garbage bits (garbage
+    probes can yield FALSE NEGATIVES, breaking seen-set exactness)."""
+    import pytest
+
+    from retailer_scrapers_spark.operators.bloom import _probe_slice_blob
+
+    h1 = np.array([1, 2], dtype=np.int64)
+    h2 = np.array([3, 4], dtype=np.int64)
+    with pytest.raises(ValueError, match="incompatible filter state"):
+        _probe_slice_blob(b"SCK1" + b"\x00" * 64, 7, 3, h1, h2)
+    with pytest.raises(ValueError, match="not word-aligned"):
+        _probe_slice_blob(b"\x00" * 13, 7, 3, h1, h2)
+    with pytest.raises(ValueError, match="incompatible filter state"):
+        # 128 bytes = 1024 bits, but the state row declares 2048
+        _probe_slice_blob(b"\x00" * 128, 7, 3, h1, h2, expected_m_slice=2048)
+    # a correctly-sized blob still probes fine
+    out = _probe_slice_blob(b"\x00" * 128, 7, 3, h1, h2, expected_m_slice=1024)
+    assert not out.any()
+
+
 def test_state_probe_empty_state_unknown_slicing(spark):
     """Library edge: an EMPTY state with n_slices unspecified must probe
     all-False (nothing is in an empty filter), not crash inferring the

@@ -234,3 +234,32 @@ def test_resume_rederives_slice_count_from_state(
     seen1 = {r.url_canon for r in cat1.read_all("seen").collect()}
     seen2 = {r.url_canon for r in cat2.read_all("seen").collect()}
     assert seen1 == seen2
+
+
+def test_torn_filter_commit_replay_does_not_double_insert(
+    spark, site_df, robots_df, seeds_df, tmp_path_factory
+):
+    """ADVICE r5 (medium): on resume after a torn commit (seen_filter
+    epoch N committed, frontier not), the filter must be read at the
+    FRONTIER's epoch — reading the epoch-N filter made the cuckoo
+    replay re-insert epoch-N's keys (duplicated fingerprints, inflated
+    n_items/capacity pressure) and rmtree'd a directory still in the
+    final frontier write's lineage. With the cap, the replayed epoch
+    inserts each key exactly once: Σ n_items == |seen| at the end."""
+    import shutil
+
+    work = str(tmp_path_factory.mktemp("torn_filter"))
+    cfg = CrawlConfig(
+        workdir=work, epochs=10, per_host_budget=6, filter_kind="cuckoo", bloom_bits=1 << 14
+    )
+    CrawlPlan(spark, cfg, site_df, robots_df).run(seeds_df, epochs=3)
+    # tear epoch 2: filter + seen committed, frontier commit lost
+    shutil.rmtree(f"{work}/frontier/epoch=2")
+    plan = CrawlPlan(spark, cfg, site_df, robots_df)
+    assert plan.resume_epoch() == 2
+    plan.run(seeds_df, epochs=10)
+    cat = SnapshotCatalog(work, spark)
+    n_seen = cat.read_all("seen").count()
+    n_items = cat.read("seen_filter").agg(F.sum("n_items")).collect()[0][0]
+    assert n_items == n_seen, f"filter holds {n_items} fingerprints for {n_seen} seen URLs"
+    assert cat.read("frontier").isEmpty()

@@ -186,3 +186,21 @@ def test_upsert_cuckoo_state_overflow_raises(spark):
     flood = spark.createDataFrame([(f"https://h.test/f/{i}",) for i in range(5000)], "url_canon string")
     with _pytest.raises(Exception, match="over capacity"):
         upsert_cuckoo_state(tiny, flood, capacity=128, n_slices=2).collect()
+
+
+def test_upsert_cuckoo_state_rejects_multi_generation_state(spark):
+    """ADVICE r5: the cuckoo upsert consumes exactly ONE state row per
+    slice — unlike the Bloom probe it cannot fold extra generations
+    (fingerprints don't retain the key), so silently taking row 0 would
+    drop entries (false negatives downstream). Unioned unmerged
+    generations must fail loudly instead."""
+    import pytest as _pytest
+
+    from retailer_scrapers_spark.operators.cuckoo import upsert_cuckoo_state
+
+    seen = spark.createDataFrame([(f"https://h.test/{i}",) for i in range(100)], "url_canon string")
+    gen1 = spark.createDataFrame(upsert_cuckoo_state(None, seen, capacity=1 << 12, n_slices=2).collect())
+    two_gens = gen1.unionByName(gen1)
+    delta = spark.createDataFrame([("https://h.test/new",)], "url_canon string")
+    with _pytest.raises(Exception, match="state rows"):
+        upsert_cuckoo_state(two_gens, delta, capacity=1 << 12, n_slices=2).collect()

@@ -212,14 +212,18 @@ def test_run_epoch_has_no_complement_anti_joins():
     from retailer_scrapers_spark.plans.crawl import CrawlPlan
 
     src = inspect.getsource(CrawlPlan.run_epoch)
-    # exactly three remain: the two discovery novelty checks (probe side
-    # = discovered delta) and the sched_state carry decay (probe side =
-    # the tiny per-(host,salt) state table). No complement anti-joins
+    # exactly four remain: the broadcast-flipped discovery novelty check
+    # (anti vs the tiny matched set), its two-shuffled-anti fallback for
+    # a pathological delta, and the sched_state carry decay (probe side
+    # = the tiny per-(host,salt) state table). No complement anti-joins
     # over unseen/selected.
-    assert src.count('"left_anti"') == 3, src.count('"left_anti"')
+    assert src.count('"left_anti"') == 4, src.count('"left_anti"')
     assert 'unseen.join(selected' not in src and 'in_window.join(unseen' not in src
     assert "split_topk_per_host" in src
     assert "filter_unseen_split" in src
+    # the novelty check's default path scans (never shuffles) the big
+    # union and broadcasts only the delta (VERDICT r5 #1)
+    assert 'big_keys.join(F.broadcast(d_keys), "url_canon", "left_semi")' in src
 
 
 def test_frontier_next_exchange_count_bounded(spark, site_df, robots_df, seeds_df, tmp_path_factory):
@@ -256,8 +260,12 @@ def test_frontier_next_exchange_count_bounded(spark, site_df, robots_df, seeds_d
 
 
 # measured 70 on the current epoch shape (slice-routed probe, rank-split
-# top-k, prefix-sum seq; plan text re-expands the frontier subtree ~5×,
-# so each real shuffle counts several times). The r3 backlog anti-join
-# shape measured strictly higher — any added per-subtree shuffle moves
-# this by ≥5.
-EXPECTED_FRONTIER_EXCHANGES = 72
+# top-k, prefix-sum seq, scan-side verify/novelty flip; plan text
+# re-expands the frontier subtree ~5×, so each real shuffle counts
+# several times — the strings also match BroadcastExchange/
+# ReusedExchange, which the r6 flip ADDS while removing real
+# hash-partitioning shuffles; the per-kind seen-side assertion lives in
+# test_bloom.test_exact_verify_has_no_seen_side_exchange). The r3
+# backlog anti-join shape measured strictly higher — any added
+# per-subtree shuffle moves this by ≥5.
+EXPECTED_FRONTIER_EXCHANGES = 70
