@@ -190,13 +190,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (l_orderkey, l_linenumber) is NOT unique in the driver tables, so the
         # ordinal must come from a SHARED total order on both sides (§2.9)
         w = Window.partitionBy("page").orderBy("l_linenumber", "l_partkey", "qty")
+        # persist the shared ranked frame: both zip sides read ONE window
+        # materialization instead of re-scanning + re-shuffling + re-
+        # sorting lineitem per side (guide §5 persist-on-reuse; the cache
+        # releases with the returned handle)
+        from retailer_scrapers_spark.operators.caching import unpersist_when_collected
+
         src = li.select(
             F.col("l_orderkey").alias("page"), "l_partkey", "l_linenumber",
             F.col("l_quantity").cast("long").alias("qty"),
-        ).withColumn("pos", F.row_number().over(w) - 1)
+        ).withColumn("pos", F.row_number().over(w) - 1).persist()
         left = src.select("page", "pos", "l_partkey")
         right = src.select("page", "pos", "qty")
-        return zip_join(left, right, "page", "pos").select("page", "pos", "l_partkey", "qty")
+        out = zip_join(left, right, "page", "pos").select("page", "pos", "l_partkey", "qty")
+        return unpersist_when_collected(out, src)
 
     q["j1_zip_join"] = j1_zip_join
 
@@ -808,22 +815,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["image_near_dup_rows"] = image_near_dup_rows
 
     def image_phash_pipeline(spark, sf):
-        # multimodal plumbing: synthetic corpus → decode → stats + phash
+        # multimodal plumbing: synthetic corpus → decode → stats + phash.
+        # r6: one fused features UDF decodes each blob ONCE for stats AND
+        # phash (the two side-by-side UDFs each decoded the full blob —
+        # guide §4); output rows/columns/values are unchanged.
         from retailer_scrapers_spark import schemas
-        from retailer_scrapers_spark.functions.images import image_stats_udf, phash_udf
+        from retailer_scrapers_spark.functions.images import image_features_udf
         from retailer_scrapers_spark.sources.synthetic_site import build_corpus
 
         corpus = spark.createDataFrame(build_corpus(), schemas.CORPUS)
         out = corpus.select(
             "image_id",
             "fmt",
-            phash_udf(F.col("bytes"), F.col("fmt")).alias("phash_recomputed"),
-            image_stats_udf(F.col("bytes"), F.col("fmt")).alias("s"),
+            image_features_udf(F.col("bytes"), F.col("fmt")).alias("s"),
             "phash",
         )
         return out.select(
             "image_id", "fmt", F.col("s.w").alias("w"), F.col("s.h").alias("h"),
-            (F.col("phash_recomputed") == F.col("phash")).alias("phash_ok"),
+            (F.col("s.phash") == F.col("phash")).alias("phash_ok"),
         )
 
     q["image_phash_pipeline"] = image_phash_pipeline

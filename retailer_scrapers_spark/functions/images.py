@@ -240,11 +240,11 @@ def phash64(arr: np.ndarray) -> int:
     block = d[:8, :8].copy()
     flat = block.flatten()
     med = np.median(flat[1:])  # exclude DC
-    bits = (flat > med).astype(np.uint64)
-    val = np.uint64(0)
-    for b in bits:
-        val = np.uint64(val << np.uint64(1)) | b
-    return int(val.view(np.int64) if hasattr(val, "view") else val)
+    # pack MSB-first in one vectorized pass (identical value to the old
+    # 64-step Python shift loop; guide §4.2 — this runs once per image
+    # in both the corpus builder and the phash UDFs)
+    packed = np.packbits(flat > med)  # bitorder="big": flat[0] → MSB
+    return int.from_bytes(packed.tobytes(), "big", signed=True)
 
 
 # ---------------------------------------------------------------------------
@@ -281,6 +281,34 @@ def image_stats_udf(blob: pd.Series, fmt: pd.Series) -> pd.DataFrame:
         hs.append(int(arr.shape[0])), ws.append(int(arr.shape[1]))
         means.append(float(arr.astype(np.float64).mean()))
     return pd.DataFrame({"w": ws, "h": hs, "mean_px": means})
+
+
+_FEATURES_T = T.StructType(
+    [
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("mean_px", T.DoubleType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_FEATURES_T)
+def image_features_udf(blob: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    """Decode ONCE per blob and emit stats + phash together (guide §4:
+    ``phash_udf`` and ``image_stats_udf`` side by side each decode the
+    full blob — the decode is the expensive half, so fusing the two
+    halves the Python-boundary work for pipelines that want both)."""
+    ws, hs, means, phs = [], [], [], []
+    for b, f_ in zip(blob.values, fmt.values):
+        if b is None:
+            ws.append(None), hs.append(None), means.append(None), phs.append(0)
+            continue
+        arr = decode_image(bytes(b), f_)
+        hs.append(int(arr.shape[0])), ws.append(int(arr.shape[1]))
+        means.append(float(arr.astype(np.float64).mean()))
+        phs.append(phash64(arr))
+    return pd.DataFrame({"w": ws, "h": hs, "mean_px": means, "phash": phs})
 
 
 def frame_sample(df, n_frames: int = 4, blob_col: str = "bytes", id_col: str = "image_id"):

@@ -372,7 +372,7 @@ def _exact_verify_scan_side(
     seen: DataFrame,
     url_col: str,
     pin,
-    max_broadcast_rows: int = VERIFY_BROADCAST_MAX_ROWS,
+    max_broadcast_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """``(verified_unseen, dup_seen)`` — the exact-membership backstop
     with NO seen-side shuffle (VERDICT r5 #1; guide §3.1: broadcast the
@@ -390,15 +390,23 @@ def _exact_verify_scan_side(
     Identical result (a positive row is unseen iff its key has no seen
     match), but the only data movement is two small broadcasts; the
     10^10-row table is read once and never leaves its scan tasks.
-    ``positives`` must already be pinned by the caller (the row count
-    that picks the path is an action). Above ``max_broadcast_rows`` the
-    exact shuffled anti/semi pair is used instead.
+
+    ``max_broadcast_rows``: None (default) broadcasts unconditionally —
+    no sizing job, the right call for bench/ad-hoc use where positives
+    are known-bounded. An int enables the guarded form: one count over
+    the (caller-pinned) positives picks broadcast vs the exact shuffled
+    anti/semi pair, so a pathological epoch (nearly everything already
+    seen) degrades to the r5 shape instead of an oversized broadcast —
+    a deterministic switch on a pure function of the input, like the D2
+    hybrid. The r6 A/B at sf0.1 measured the count job at ~0.4 s, which
+    is noise per crawl EPOCH but real per bench query — hence the
+    split default.
     """
     # LEFT ANTI/SEMI are existence-only: duplicates on the build side
     # are harmless, so no distinct anywhere — that was a full extra
     # shuffle of the (at scale, 10^10-row) seen set per epoch
     seen_keys = seen.select(F.col(url_col))
-    if positives.count() <= max_broadcast_rows:
+    if max_broadcast_rows is None or positives.count() <= max_broadcast_rows:
         matched = pin(seen_keys.join(F.broadcast(positives.select(F.col(url_col))), url_col, "left_semi"))
         verified = positives.join(F.broadcast(matched), url_col, "left_anti")
         dup = positives.join(F.broadcast(matched), url_col, "left_semi")
@@ -632,6 +640,7 @@ def filter_unseen_split_state(
     url_col: str = "url_canon",
     pin=None,
     n_slices: int | None = None,
+    verify_broadcast_max_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """``(unseen, dup_seen)`` with the slice-routed probe — the state-
     DataFrame counterpart of :func:`filter_unseen_split` (same exactness
@@ -660,7 +669,9 @@ def filter_unseen_split_state(
     probed = pin(probe_filter_state(frontier, state, url_col, n_slices=n_slices))
     negatives = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     positives = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-    verified, dup = _exact_verify_scan_side(positives, seen, url_col, pin)
+    verified, dup = _exact_verify_scan_side(
+        positives, seen, url_col, pin, max_broadcast_rows=verify_broadcast_max_rows
+    )
     unseen = negatives.unionByName(verified)
     if owned:
         unseen = unpersist_when_collected(unseen, *owned)

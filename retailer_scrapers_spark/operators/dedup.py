@@ -319,20 +319,28 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """SimHash: sign of per-bit sums of token hashes. Built-ins only:
     explode tokens → per-bit ±1 from the token hash → sum → sign bits.
-    Shuffle: one groupBy on the id (map-side partial aggregation)."""
+    Shuffle: one groupBy on the id (map-side partial aggregation).
+
+    Construction note (r6, guide §1.2 "per-task work" applied to the
+    DRIVER): the Column-DSL form issued ~9 py4j round-trips per bit
+    (~600 for 64 bits), costing >1 s of pure plan-construction time per
+    bench invocation. Each bit's aggregate is now ONE parsed SQL
+    expression (identical operators — CASE/shiftright/& compile to the
+    same Catalyst nodes; SQL ``xxhash64`` uses the same default seed
+    42 as ``F.xxhash64``), and the bit assembly is a single parsed
+    expression instead of a 64-step Column fold."""
     toks = df.select(F.col(id_col), F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"))
-    h = F.xxhash64("tok")
     bit_cols = [
-        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(xxhash64(tok), {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        )
         for b in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*bit_cols)
-    sim = None
-    for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        contrib = F.shiftleft(term, b)
-        sim = contrib if sim is None else sim.bitwiseXOR(contrib)  # disjoint bits: XOR == OR
-    return agg.select(F.col(id_col), sim.alias("simhash"))
+    assembly = " ^ ".join(
+        f"shiftleft(CAST(CASE WHEN b{b} > 0 THEN 1 ELSE 0 END AS BIGINT), {b})" for b in range(bits)
+    )  # disjoint bits: XOR == OR
+    return agg.select(F.col(id_col), F.expr(assembly).alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -384,6 +392,12 @@ def ngram_jaccard_pairs(
         hot_per_doc = sh.join(hot, "sh", "left_semi").groupBy(id_col).agg(F.collect_list("sh").alias("__hot"))
     else:
         sh_rare = sh
+    # sizes from the CACHED exploded table: a row-local
+    # size(array_distinct(...)) expression was tried in r6 and measured
+    # slower — each of the sz_a/sz_b join sides re-evaluated the full
+    # shingle construction over the corpus, while this aggregation reads
+    # the persisted explode once (guide §1.1: the "ideal" plan lost to
+    # the measured one)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     # candidates AND their rare-shingle intersection in one aggregation.
     # Shape: group each sub-cap shingle's doc list (bounded by df_cap),

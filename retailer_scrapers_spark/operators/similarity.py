@@ -401,12 +401,19 @@ def embedding_near_dup_pairs(
     dim = len(first[0])
     # all tables' buckets in ONE Arrow matmul batch (see _bucket_ids_udf)
     buckets = _bucket_ids_udf([_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)])
+    # persist: the signature table feeds the bucket-cap count AND both
+    # join sides — without the cache the Arrow-matmul UDF + posexplode +
+    # norm ran once per consumer (3× per action, measured the dominant
+    # cost of embedding_near_dup_lsh at sf0.1; guide §5 persist-on-reuse)
+    from retailer_scrapers_spark.operators.caching import unpersist_when_collected
+
     sig = df.select(
         F.col(id_col),
         F.col(vec_col),
         F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
         _norm(F.col(vec_col)).alias("nrm"),
-    )
+    ).persist()
+    sig_cache = sig
     if bucket_cap is not None:
         counts = sig.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("__bn"))
         counts = counts.observe(
@@ -423,7 +430,7 @@ def embedding_near_dup_pairs(
     # per (a, b), so dedup keeps identical values, and the shuffle
     # carries (a, b, cosine) instead of two full vectors + norms
     # (VERDICT r3 next #6)
-    return (
+    out = (
         left.join(right, ["tbl", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
@@ -431,3 +438,4 @@ def embedding_near_dup_pairs(
         .select("a", "b", "cosine")
         .dropDuplicates(["a", "b"])
     )
+    return unpersist_when_collected(out, sig_cache)

@@ -38,25 +38,39 @@ class TDigest:
         return self.delta / (2 * math.pi) * np.arcsin(np.clip(2 * q - 1, -1, 1))
 
     def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        """Greedy left-to-right cluster merge, vectorized (guide §4.2).
+
+        The r5 form walked every input value in a Python loop with two
+        single-element numpy arcsin calls per step — ~10 µs/value, and
+        the dominant cost of the whole t-digest query (~3.5 s of the
+        4.4 s bench time at sf0.1). The greedy rule only ever compares
+        the CUMULATIVE weight through the candidate against a per-
+        cluster limit: a cluster opened at cumulative weight s absorbs
+        every value whose running total e keeps k(e/n) − k(s/n) ≤ 1.
+        Since k∘cum is monotone, each cluster boundary is one
+        ``searchsorted`` over the precomputed k(cum/n) array — the loop
+        runs once per OUTPUT cluster (~δ), not once per value, and the
+        member means come from prefix sums."""
         order = np.lexsort((weights, means))
         means, weights = means[order], weights[order]
         total = weights.sum()
+        cum = np.cumsum(weights)
+        k_cum = self._k(cum / total)  # monotone (cum/total is)
+        mw_cum = np.cumsum(means * weights)
         out_m, out_w = [], []
-        cur_m, cur_w = means[0], weights[0]
-        w_before = 0.0
-        for m, w in zip(means[1:], weights[1:]):
-            q0 = w_before / total
-            q1 = (w_before + cur_w + w) / total
-            if self._k(np.array([q1])) - self._k(np.array([q0])) <= 1.0:
-                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)  # weighted merge
-                cur_w += w
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                w_before += cur_w
-                cur_m, cur_w = m, w
-        out_m.append(cur_m)
-        out_w.append(cur_w)
+        i, n = 0, len(means)
+        while i < n:
+            w_before = cum[i - 1] if i else 0.0
+            k0 = self._k(np.array([w_before / total]))[0]
+            # last j with k(cum[j]/total) ≤ k0 + 1 (≥ i: a cluster always
+            # takes at least its opening value, as the loop form did)
+            j = max(int(np.searchsorted(k_cum, k0 + 1.0, side="right")) - 1, i)
+            lo_w = cum[i - 1] if i else 0.0
+            lo_mw = mw_cum[i - 1] if i else 0.0
+            w = cum[j] - lo_w
+            out_m.append((mw_cum[j] - lo_mw) / w)
+            out_w.append(w)
+            i = j + 1
         self.means = np.array(out_m)
         self.weights = np.array(out_w)
 
@@ -109,7 +123,6 @@ def tdigest_sketch_df(df, key_col: str, value_col: str, delta: float = 100.0):
     built fully executor-side (same contract as ``hll_sketch_df``: the
     pre-build repartition on the key guarantees one output row per key,
     so there is no driver fold — VERDICT r3 #4)."""
-    import itertools
     from collections.abc import Iterator
 
     import pyarrow as pa
@@ -120,13 +133,41 @@ def tdigest_sketch_df(df, key_col: str, value_col: str, delta: float = 100.0):
     )
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        # guide §4.2: group each Arrow batch via dictionary codes +
+        # integer argsort (the r5 form sorted Python (str, float)
+        # tuples per batch), and BUFFER values per key across batches —
+        # one _compress per ~64k values instead of one per 2k-row
+        # batch. The buffer bounds per-task memory at
+        # O(keys · flush_rows · 8 B), not O(partition).
         per_key: dict[str, TDigest] = {}
+        buf: dict[str, list[np.ndarray]] = {}
+        buf_rows: dict[str, int] = {}
+        flush_rows = 1 << 16
+
+        def flush(k: str) -> None:
+            vals = np.concatenate(buf.pop(k))
+            buf_rows[k] = 0
+            per_key.setdefault(k, TDigest(delta)).add(vals)
+
         for batch in batches:
-            ks = batch.column("__k").to_pylist()
+            enc = pc.dictionary_encode(batch.column("__k"))
+            keys = enc.dictionary.to_pylist()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
             vs = batch.column("__v").to_numpy(zero_copy_only=False)
-            pairs = sorted(zip(ks, vs), key=lambda t: t[0])
-            for k, grp in itertools.groupby(pairs, key=lambda t: t[0]):
-                per_key.setdefault(k, TDigest(delta)).add(np.array([g[1] for g in grp]))
+            order = np.argsort(codes, kind="stable")
+            codes_s, vs_s = codes[order], vs[order]
+            bounds = np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1
+            starts = np.concatenate([[0], bounds]) if len(codes_s) else np.array([], dtype=int)
+            for seg, start in zip(np.split(vs_s, bounds), starts):
+                k = keys[codes_s[start]]
+                buf.setdefault(k, []).append(seg)
+                buf_rows[k] = buf_rows.get(k, 0) + len(seg)
+                if buf_rows[k] >= flush_rows:
+                    flush(k)
+        for k in list(buf):
+            flush(k)
         if per_key:
             yield pa.RecordBatch.from_pydict(
                 {

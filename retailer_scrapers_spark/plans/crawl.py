@@ -175,8 +175,14 @@ class CrawlPlan:
         # state DataFrame; each frontier row shuffles to its slice's
         # task and is probed against only that slice's few-MB blob — no
         # whole-filter broadcast (~17.9 GB at 10^10 URLs / 1e-3 fpp).
+        from retailer_scrapers_spark.operators.bloom import VERIFY_BROADCAST_MAX_ROWS
+
         unseen, dup_seen = filter_unseen_split_state(
-            in_window, filter_state, seen, pin=pin, n_slices=self.n_slices
+            in_window, filter_state, seen, pin=pin, n_slices=self.n_slices,
+            # the epoch loop enables the guarded verify: one tiny count
+            # per epoch buys the exact shuffled fallback should a
+            # pathological epoch make the positives un-broadcastable
+            verify_broadcast_max_rows=VERIFY_BROADCAST_MAX_ROWS,
         )
         log_parts.append(dup_seen.select("url_canon", "host", "attempt").withColumn("result", F.lit("dup_seen")))
 
@@ -289,8 +295,6 @@ class CrawlPlan:
         # broadcast cap the exact shuffled anti-joins remain as the
         # fallback (deterministic switch on the pinned delta's count —
         # same pattern as the D2 hybrid and the verify flip).
-        from retailer_scrapers_spark.operators.bloom import VERIFY_BROADCAST_MAX_ROWS
-
         d_keys = discovered.select("url_canon")
         if discovered.count() <= VERIFY_BROADCAST_MAX_ROWS:
             big_keys = seen_next.select("url_canon").unionByName(frontier.select("url_canon"))

@@ -11,9 +11,15 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Arrow batches carry image ``bytes`` columns; cap the rows per batch so a
-# batch of ~1 MB blobs stays well under executor memory (SURVEY.md §4.2.4).
-_ARROW_MAX_RECORDS = "2048"
+# Arrow batching (guide §4.2): Spark 4 bounds a batch by BOTH row count
+# and bytes. r5 pinned rows=2048 purely to keep batches of ~1 MB image
+# blobs small — which also chopped every NARROW numeric stream (hashes,
+# probe columns) into 5× more Python-boundary batches than the 10000
+# default. The byte cap is the correct guard for fat binary rows, so
+# rows go back to 10000 and bytes are pinned explicitly: a blob batch
+# tops out at 32 MB regardless of row count.
+_ARROW_MAX_RECORDS = "10000"
+_ARROW_MAX_BYTES = "32m"
 
 
 def get_spark(
@@ -104,7 +110,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", _ARROW_MAX_RECORDS)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", _ARROW_MAX_BYTES)
+        # 48g (was 24g): local mode folds executor memory into the one
+        # driver JVM, and r6 profiling tied the worst per-query outliers
+        # to old-gen pressure/GC after ~25 queries in one session. The
+        # box budget is 125 GiB; env-overridable, and on a submitted
+        # cluster master the driver JVM already exists so this conf is
+        # inert there (driver memory comes from spark-submit).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
