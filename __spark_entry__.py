@@ -96,14 +96,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def d2_repair_duplicate_indexes(spark, sf):
         from retailer_scrapers_spark.operators.dedup import repair_duplicate_indexes
 
+        from retailer_scrapers_spark.operators.caching import carry_caches
+
         li = _t(spark, sf, "lineitem").select(
             (F.col("l_orderkey") % 1000).alias("index"),
             F.col("l_orderkey").alias("okey"),
             F.col("l_linenumber").alias("lnum"),
         )
-        return repair_duplicate_indexes(li, "index", floor_value=5000, order_cols=("okey", "lnum")).select(
-            "okey", "lnum", "index"
-        )
+        out = repair_duplicate_indexes(li, "index", floor_value=5000, order_cols=("okey", "lnum"))
+        # carry_caches: the final .select is a DERIVED frame — without the
+        # carry the operator's internal persist releases before execution
+        return carry_caches(out.select("okey", "lnum", "index"), out)
 
     q["d2_repair_duplicate_indexes"] = d2_repair_duplicate_indexes
 
@@ -155,9 +158,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.lit(".test/o/"), F.col("o_orderkey").cast("string")).alias("url_canon"),
         )
         seen = urls.filter(F.col("okey") % 3 == 0).select("url_canon")
+        from retailer_scrapers_spark.operators.caching import carry_caches
+
         state = build_bloom_state(seen, m_bits=1 << 18, k_hashes=7, n_slices=8)
         unseen, _dup = filter_unseen_split_state(urls.select("url_canon"), state, seen, n_slices=8)
-        return unseen.select("url_canon")
+        return carry_caches(unseen.select("url_canon"), unseen)
 
     q["d6_seen_filter_anti"] = d6_seen_filter_anti
 
@@ -502,19 +507,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ngram_jaccard_near_dup(spark, sf):
         from retailer_scrapers_spark.operators.dedup import ngram_jaccard_pairs
 
+        from retailer_scrapers_spark.operators.caching import carry_caches
+
         docs = _t(spark, sf, "documents")
-        return ngram_jaccard_pairs(docs, n=3, threshold=0.12).select(
-            "a", "b", F.round("jaccard", 6).alias("jaccard")
-        )
+        out = ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+        return carry_caches(out.select("a", "b", F.round("jaccard", 6).alias("jaccard")), out)
 
     q["ngram_jaccard_near_dup"] = ngram_jaccard_near_dup
 
     def minhash_lsh_near_dup(spark, sf):
         from retailer_scrapers_spark.operators.dedup import minhash_lsh_pairs
 
+        from retailer_scrapers_spark.operators.caching import carry_caches
+
         docs = _t(spark, sf, "documents")
-        return minhash_lsh_pairs(docs, num_hashes=32, bands=16, shingle_k=3, bucket_cap=2000).select(
-            "a", "b", F.round("est_jaccard", 6).alias("est_jaccard")
+        out = minhash_lsh_pairs(docs, num_hashes=32, bands=16, shingle_k=3, bucket_cap=2000)
+        return carry_caches(
+            out.select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard")), out
         )
 
     q["minhash_lsh_near_dup"] = minhash_lsh_near_dup
@@ -844,10 +853,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no single-partition sort (VERDICT r1 top item)
         from retailer_scrapers_spark.operators.frontier import global_sequence
 
+        from retailer_scrapers_spark.operators.caching import carry_caches
+
         cust = _t(spark, sf, "customer").select("c_custkey", "c_name")
-        return global_sequence(cust, "c_name", "seq", start=0, prefix_len=17, coarse_len=15).select(
-            "c_custkey", "c_name", "seq"
-        )
+        out = global_sequence(cust, "c_name", "seq", start=0, prefix_len=17, coarse_len=15)
+        return carry_caches(out.select("c_custkey", "c_name", "seq"), out)
 
     q["global_sequence_rank"] = global_sequence_rank
 

@@ -44,3 +44,22 @@ def unpersist_when_collected(result: DataFrame, *cached: DataFrame) -> DataFrame
     fin = weakref.finalize(result, _release)
     result.release_caches = fin  # explicit, idempotent early release
     return result
+
+
+def carry_caches(derived: DataFrame, source: DataFrame) -> DataFrame:
+    """Extend a cache lifetime from an operator result to a frame
+    DERIVED from it (``op(df).select(...)``).
+
+    The documented :func:`unpersist_when_collected` caveat bit for real
+    in r6 profiling: every bench query that wraps an operator in a final
+    ``.select`` drops the operator's handle at return, the finalizer
+    fires immediately, and the operator's internal persists are released
+    BEFORE the first action — minhash/ngram/d2/d6 all re-ran their
+    cached subtrees per consuming branch (for d6 that meant the whole
+    slice-routed probe executed twice per action). Holding ``source`` as
+    an attribute of ``derived`` keeps the finalizer (and the caches)
+    alive exactly as long as the frame the caller actually executes."""
+    if hasattr(source, "release_caches"):
+        derived._cache_source = source
+        derived.release_caches = source.release_caches
+    return derived

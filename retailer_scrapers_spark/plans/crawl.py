@@ -649,9 +649,15 @@ class CrawlPlan:
             combined = resume_src.select(*assembled.columns).unionByName(assembled)
         combined = drop_duplicates_first(combined, ("name", "price"), "index")
         repaired = None
+        # hold each repair handle until AFTER the products write: the
+        # union derives new frames that don't reference the operator
+        # results, so without this the repairs' internal persists release
+        # before the terminal action (the carry_caches lifetime caveat)
+        repairs: list[DataFrame] = []
         for retailer, floor in REPAIR_FLOORS.items():
             sub = combined.filter(F.col("retailer") == retailer)  # F3
             sub = repair_duplicate_indexes(sub, "index", floor, ("name", "price"))
+            repairs.append(sub)
             repaired = sub if repaired is None else repaired.unionByName(sub)
         other = combined.filter(~F.col("retailer").isin(list(REPAIR_FLOORS)))
         repaired = repaired.unionByName(other) if repaired is not None else combined
@@ -659,4 +665,7 @@ class CrawlPlan:
 
         cat.write(deduped, "products", epoch_for_write)
         imaged.unpersist()
+        for sub in repairs:
+            if hasattr(sub, "release_caches"):
+                sub.release_caches()
         return cat.read("products")

@@ -33,3 +33,29 @@ def test_explicit_release_is_idempotent(spark):
     assert _persisted_count(spark) == before
     # correctness unaffected after release: lineage recomputes
     assert out.count() == 50
+
+
+def test_carry_caches_keeps_operator_persist_alive(spark):
+    """r6 regression pin: a query that wraps an operator result in a
+    final .select() drops the operator handle — without carry_caches the
+    unpersist finalizer fired before the first action and every internal
+    persist was silently defeated (measured: d6's slice probe ran twice
+    per action, minhash re-built signatures per consumer)."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from retailer_scrapers_spark.operators.caching import carry_caches, unpersist_when_collected
+
+    base = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    cached = base.persist()
+    res = unpersist_when_collected(cached.groupBy("k").count(), cached)
+    derived = carry_caches(res.select("k"), res)
+    del res
+    gc.collect()
+    plan = derived._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan  # cache still alive
+    derived.release_caches()
+    gc.collect()
+    plan2 = cached.groupBy("k").count()._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan2, plan2  # released on demand
