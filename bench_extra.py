@@ -103,6 +103,67 @@ def explains(suffix: str = "before") -> None:
     spark.stop()
 
 
+def big_filter() -> None:
+    """VERDICT r5 #8: demonstrate the slice-routed probe at a filter
+    size that genuinely CANNOT broadcast. Builds the per-slice Bloom
+    state at ~4 GiB of bits (vs Spark's practical broadcast budget and
+    the driver-collect path both being out of the question), then runs
+    the exact slice-routed dedup over an 8M-URL frontier."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from retailer_scrapers_spark import get_spark
+    from retailer_scrapers_spark.functions.urls import canonicalize_urls
+    from retailer_scrapers_spark.operators.bloom import (
+        build_bloom_state,
+        filter_unseen_split_state,
+    )
+    from retailer_scrapers_spark.operators.frontier import topk_per_host
+
+    n = int(os.environ.get("SPARK_GRAFT_BIGFILTER_N", "8000000"))
+    m_bits = 1 << 35  # 4 GiB of filter bits — no broadcast path exists
+    n_slices = 32
+    spark = get_spark("bench-extra-bigfilter", cores=CPUS)
+    n_hosts = max(n // 2048, 16)
+    raw = spark.range(n).select(
+        F.concat(
+            F.lit("https://Host"), (F.col("id") % n_hosts).cast("string"),
+            F.lit(".test/p/"), F.col("id").cast("string"),
+            F.lit("?utm_source=bench&b=2&a=1#frag"),
+        ).alias("url"),
+        F.col("id"),
+    )
+    seen = canonicalize_urls(raw.filter(F.col("id") % 2 == 0), "url").select("url_canon").persist()
+    seen.count()
+    frontier_df = (
+        canonicalize_urls(raw, "url")
+        .select("url_canon", "host", F.col("id").alias("seq"), F.lit(1.0).alias("priority"))
+        .persist()
+    )
+    frontier_df.count()
+    t0 = time.time()
+    state = build_bloom_state(seen, m_bits=m_bits, k_hashes=10, n_slices=n_slices).persist()
+    state_rows = state.count()
+    state_bytes = state.select(F.sum(F.length("filter_bytes"))).collect()[0][0]
+    t_build = time.time() - t0
+    t1 = time.time()
+    unseen, _dup = filter_unseen_split_state(frontier_df, state, seen, n_slices=n_slices)
+    n_out = topk_per_host(unseen, per_host_budget=1 << 30).count()
+    t_dedup = time.time() - t1
+    assert n_out == n - n // 2, n_out
+    print(json.dumps({
+        "n_urls": n,
+        "filter_gib": round(state_bytes / 2**30, 2),
+        "state_rows": state_rows,
+        "n_slices": n_slices,
+        "state_build_sec": round(t_build, 3),
+        "sliced_dedup_topk_sec": round(t_dedup, 3),
+        "urls_per_sec": round(n / (t_build + t_dedup), 1),
+    }))
+    spark.stop()
+
+
 def frontier() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from bench import BENCH_N, frontier_throughput
@@ -122,5 +183,7 @@ if __name__ == "__main__":
         explains(sys.argv[2] if len(sys.argv) > 2 else "before")
     elif cmd == "frontier":
         frontier()
+    elif cmd == "big-filter":
+        big_filter()
     else:
         raise SystemExit(f"unknown command: {cmd}")

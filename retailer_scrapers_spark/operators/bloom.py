@@ -373,6 +373,7 @@ def _exact_verify_scan_side(
     url_col: str,
     pin,
     max_broadcast_rows: int | None = None,
+    pin_matched: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """``(verified_unseen, dup_seen)`` — the exact-membership backstop
     with NO seen-side shuffle (VERDICT r5 #1; guide §3.1: broadcast the
@@ -407,7 +408,12 @@ def _exact_verify_scan_side(
     # shuffle of the (at scale, 10^10-row) seen set per epoch
     seen_keys = seen.select(F.col(url_col))
     if max_broadcast_rows is None or positives.count() <= max_broadcast_rows:
-        matched = pin(seen_keys.join(F.broadcast(positives.select(F.col(url_col))), url_col, "left_semi"))
+        matched = seen_keys.join(F.broadcast(positives.select(F.col(url_col))), url_col, "left_semi")
+        # pin only when BOTH outputs will execute (the epoch loop logs
+        # dup); a single-consumer caller (filter_unseen discards dup)
+        # would pay the cache write for nothing
+        if pin_matched:
+            matched = pin(matched)
         verified = positives.join(F.broadcast(matched), url_col, "left_anti")
         dup = positives.join(F.broadcast(matched), url_col, "left_semi")
     else:
@@ -461,7 +467,7 @@ def filter_unseen(
     probed = pin(probe_bloom(frontier, bloom, url_col))
     negatives = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     positives = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-    verified, _dup = _exact_verify_scan_side(positives, seen, url_col, pin)
+    verified, _dup = _exact_verify_scan_side(positives, seen, url_col, pin, pin_matched=False)
     return unpersist_when_collected(negatives.unionByName(verified), *owned)
 
 
