@@ -123,21 +123,29 @@ def big_filter() -> None:
 
     n = int(os.environ.get("SPARK_GRAFT_BIGFILTER_N", "8000000"))
     m_bits = 1 << 35  # 4 GiB of filter bits — no broadcast path exists
-    n_slices = 32
+    n_slices = int(os.environ.get("SPARK_GRAFT_BIGFILTER_SLICES", "256"))
+    n_seen = n // 2
+    overlap = n // 100  # steady-state regime: ~1% of the frontier is dup
     spark = get_spark("bench-extra-bigfilter", cores=CPUS)
     n_hosts = max(n // 2048, 16)
-    raw = spark.range(n).select(
-        F.concat(
-            F.lit("https://Host"), (F.col("id") % n_hosts).cast("string"),
-            F.lit(".test/p/"), F.col("id").cast("string"),
-            F.lit("?utm_source=bench&b=2&a=1#frag"),
-        ).alias("url"),
-        F.col("id"),
-    )
-    seen = canonicalize_urls(raw.filter(F.col("id") % 2 == 0), "url").select("url_canon").persist()
+
+    def urls(lo: int, hi: int):
+        return spark.range(lo, hi).select(
+            F.concat(
+                F.lit("https://Host"), (F.col("id") % n_hosts).cast("string"),
+                F.lit(".test/p/"), F.col("id").cast("string"),
+                F.lit("?utm_source=bench&b=2&a=1#frag"),
+            ).alias("url"),
+            F.col("id"),
+        )
+
+    # frontier ids [0, n); seen ids [n-overlap, n-overlap+n_seen) — every
+    # frontier row probes the full 4 GiB state, the exact verify sees the
+    # realistic small positives slice (overlap + fpp)
+    seen = canonicalize_urls(urls(n - overlap, n - overlap + n_seen), "url").select("url_canon").persist()
     seen.count()
     frontier_df = (
-        canonicalize_urls(raw, "url")
+        canonicalize_urls(urls(0, n), "url")
         .select("url_canon", "host", F.col("id").alias("seq"), F.lit(1.0).alias("priority"))
         .persist()
     )
@@ -151,9 +159,11 @@ def big_filter() -> None:
     unseen, _dup = filter_unseen_split_state(frontier_df, state, seen, n_slices=n_slices)
     n_out = topk_per_host(unseen, per_host_budget=1 << 30).count()
     t_dedup = time.time() - t1
-    assert n_out == n - n // 2, n_out
+    assert n_out == n - overlap, n_out
     print(json.dumps({
         "n_urls": n,
+        "n_seen": n_seen,
+        "frontier_dup_rate": overlap / n,
         "filter_gib": round(state_bytes / 2**30, 2),
         "state_rows": state_rows,
         "n_slices": n_slices,
