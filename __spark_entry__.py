@@ -161,7 +161,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from retailer_scrapers_spark.operators.caching import carry_caches
 
         state = build_bloom_state(seen, m_bits=1 << 18, k_hashes=7, n_slices=8)
-        unseen, _dup = filter_unseen_split_state(urls.select("url_canon"), state, seen, n_slices=8)
+        # verify_broadcast_max_rows=None: unconditional scan-side verify,
+        # no sizing job — this query demonstrates the steady-state scale
+        # shape (positives are a small fraction of the input)
+        unseen, _dup = filter_unseen_split_state(
+            urls.select("url_canon"), state, seen, n_slices=8, verify_broadcast_max_rows=None
+        )
         return carry_caches(unseen.select("url_canon"), unseen)
 
     q["d6_seen_filter_anti"] = d6_seen_filter_anti

@@ -391,6 +391,18 @@ def probe_bloom(df: DataFrame, bloom, url_col: str = "url_canon", out_col: str =
 # shuffled fallback.
 VERIFY_BROADCAST_MAX_ROWS = 8_000_000
 
+# Library-default crossover for the guarded verify: measured A/Bs at
+# local[32] put broadcast ≈ shuffled-anti at ~50k positives, shuffled
+# winning by ~25% at 1M and ~2.3× at 4M (the broadcast build is a
+# SERIAL driver-side cost — guide §5 — which Amdahl-caps exactly the
+# high-parallelism legs). The crossover really depends on the
+# |seen|/|positives| ratio: the crawl epoch loop overrides with
+# VERIFY_BROADCAST_MAX_ROWS because at 10^10 seen rows the shuffled
+# fallback moves ~600 GB and a even a 10^7-row broadcast is cheap by
+# comparison; mid-scale library use (both sides same order of
+# magnitude) wants the smaller threshold.
+VERIFY_BROADCAST_DEFAULT_ROWS = 200_000
+
 
 def _exact_verify_scan_side(
     positives: DataFrame,
@@ -465,6 +477,7 @@ def filter_unseen(
     bloom,
     seen: DataFrame | None,
     url_col: str = "url_canon",
+    verify_broadcast_max_rows: int | None = VERIFY_BROADCAST_DEFAULT_ROWS,
 ) -> DataFrame:
     """Exact unseen-set with a Bloom prefilter (see module docstring).
 
@@ -492,7 +505,10 @@ def filter_unseen(
     probed = pin(probe_bloom(frontier, bloom, url_col))
     negatives = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     positives = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-    verified, _dup = _exact_verify_scan_side(positives, seen, url_col, pin, pin_matched=False)
+    verified, _dup = _exact_verify_scan_side(
+        positives, seen, url_col, pin,
+        max_broadcast_rows=verify_broadcast_max_rows, pin_matched=False,
+    )
     return unpersist_when_collected(negatives.unionByName(verified), *owned)
 
 
@@ -502,6 +518,7 @@ def filter_unseen_split(
     seen: DataFrame | None,
     url_col: str = "url_canon",
     pin=None,
+    verify_broadcast_max_rows: int | None = VERIFY_BROADCAST_DEFAULT_ROWS,
 ) -> tuple[DataFrame, DataFrame]:
     """``(unseen, dup_seen)`` without re-shuffling the frontier.
 
@@ -534,7 +551,9 @@ def filter_unseen_split(
     probed = pin(probe_bloom(frontier, bloom, url_col))
     negatives = probed.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     positives = probed.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-    verified, dup = _exact_verify_scan_side(positives, seen, url_col, pin)
+    verified, dup = _exact_verify_scan_side(
+        positives, seen, url_col, pin, max_broadcast_rows=verify_broadcast_max_rows
+    )
     unseen = negatives.unionByName(verified)
     if owned:
         unseen = unpersist_when_collected(unseen, *owned)
@@ -671,7 +690,7 @@ def filter_unseen_split_state(
     url_col: str = "url_canon",
     pin=None,
     n_slices: int | None = None,
-    verify_broadcast_max_rows: int | None = None,
+    verify_broadcast_max_rows: int | None = VERIFY_BROADCAST_DEFAULT_ROWS,
 ) -> tuple[DataFrame, DataFrame]:
     """``(unseen, dup_seen)`` with the slice-routed probe — the state-
     DataFrame counterpart of :func:`filter_unseen_split` (same exactness
