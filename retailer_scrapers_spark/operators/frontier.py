@@ -250,14 +250,63 @@ def assign_global_indexes(
         [(k, v) for k, v in base_offsets.items()], f"{retailer_col} string, __base long"
     )
     head, tail = list(order_cols[:-1]), order_cols[-1]
-    if not head:  # single order column → no grouping level to split on
-        w = Window.partitionBy(retailer_col).orderBy(F.col(tail).asc())
-        return (
-            df.join(F.broadcast(offsets), retailer_col, "left")
-            .na.fill({"__base": 0})
-            .withColumn(out_col, F.col("__base") + F.row_number().over(w) - 1)
-            .drop("__base")
-        )
+    drop_cols: list[str] = []
+    if not head:
+        # Single order column: the naive per-retailer window funnels each
+        # retailer through ONE sort task (at 10^9 rows/retailer that task
+        # is the whole job). Synthesize a coarse grouping key that is a
+        # monotone non-decreasing function of the order column — floor
+        # division for integrals (arithmetic shiftright preserves order,
+        # negatives included), a fixed-length prefix for strings (prefix
+        # blocks are contiguous in lexicographic order; same argument as
+        # global_sequence) — and fall through to the two-level prefix-sum
+        # below. Output is identical: ordering by (coarse, tail) equals
+        # ordering by tail, and the coarse key is never null (nulls get a
+        # dedicated first-sorting sentinel block) so the step-3 equi-join
+        # never drops rows. Non-packable order types keep the windowed
+        # form.
+        dtypes = dict(df.dtypes)
+        integral = {"tinyint", "smallint", "int", "bigint"}
+        if dtypes.get(tail) in integral:
+            # Derive the block width from the column's SPAN (one tiny
+            # min/max aggregation — a pure function of the input, so the
+            # shape stays deterministic under resume/replay, like the D2
+            # hybrid's count): a fixed shift would leave dense keys with
+            # giant blocks or hashed keys with one block per row. A fixed
+            # ~64·parallelism block COUNT keeps the group-level window
+            # trivial at any scale while block SIZE scales with the data.
+            import math
+
+            lohi = df.agg(F.min(tail).alias("lo"), F.max(tail).alias("hi")).first()
+            if lohi.lo is None:  # empty or all-null order column
+                coarse = F.lit(0)
+            else:
+                span = max(int(lohi.hi) - int(lohi.lo) + 1, 1)
+                target_blocks = 64 * df.sparkSession.sparkContext.defaultParallelism
+                k = max(0, math.ceil(math.log2(max(span / target_blocks, 1))))
+                # shiftright(x, k) ≥ -2^63 ≫ the null sentinel -2^62 only
+                # when k ≥ 2; clamp so the sentinel block stays disjoint
+                k = max(k, 2)
+                coarse = F.when(F.col(tail).isNull(), F.lit(-(1 << 62))).otherwise(
+                    F.shiftright(F.col(tail).cast("bigint"), k)
+                )
+        elif dtypes.get(tail) == "string":
+            # the "" block holds exactly the empty string, so folding
+            # nulls into it keeps them at the front of the total order
+            coarse = F.coalesce(F.substring(F.col(tail), 1, 12), F.lit(""))
+        else:
+            coarse = None
+        if coarse is None:
+            w = Window.partitionBy(retailer_col).orderBy(F.col(tail).asc())
+            return (
+                df.join(F.broadcast(offsets), retailer_col, "left")
+                .na.fill({"__base": 0})
+                .withColumn(out_col, F.col("__base") + F.row_number().over(w) - 1)
+                .drop("__base")
+            )
+        df = df.withColumn("__o2_coarse", coarse)
+        head = ["__o2_coarse"]
+        drop_cols = ["__o2_coarse"]
     group_keys = [retailer_col, *head]
     # 1. in-group rank (parallel: partitioned by the fine group key)
     w_in = Window.partitionBy(*group_keys).orderBy(F.col(tail).asc())
@@ -274,5 +323,5 @@ def assign_global_indexes(
         .join(F.broadcast(offsets), retailer_col, "left")
         .na.fill({"__base": 0, "__grp_off": 0})
         .withColumn(out_col, F.col("__base") + F.col("__grp_off") + F.col("__in_rank") - 1)
-        .drop("__base", "__grp_off", "__in_rank")
+        .drop("__base", "__grp_off", "__in_rank", *drop_cols)
     )

@@ -81,6 +81,43 @@ def test_assign_indexes_deterministic_under_partitioning(spark):
     assert a == b  # §2.9: total-order windows → same ids under any layout
 
 
+def test_assign_indexes_single_col_two_level_equals_naive(spark):
+    """r6: the single-order-column case runs the two-level prefix-sum too
+    (synthesized monotone coarse key — shiftright for integrals, prefix
+    for strings); ids must be identical to the naive per-retailer window,
+    nulls-first and negatives included, and the helper column must not
+    leak into the output schema."""
+    import random
+
+    rng = random.Random(11)
+    ints = rng.sample(range(-500_000, 500_000), 400)  # unique → no tie ambiguity
+    rows = [("A" if i % 3 else "B", k) for i, k in enumerate(ints)] + [("A", None), ("B", None)]
+    df = spark.createDataFrame(rows, "retailer string, k long").repartition(7)
+    out = FR.assign_global_indexes(df, {"A": 10, "B": 700}, order_cols=("k",))
+    assert set(out.columns) == {"retailer", "k", "index"}
+    got = {(r.retailer, r.k): r["index"] for r in out.collect()}
+    for retailer, base in (("A", 10), ("B", 700)):
+        ordered = sorted(
+            [r for r in rows if r[0] == retailer],
+            key=lambda r: (0, 0) if r[1] is None else (1, r[1]),  # nulls first, like orderBy asc
+        )
+        for rank, r in enumerate(ordered):
+            assert got[(r[0], r[1])] == base + rank, r
+
+    # string order column: prefix blocks, "" and null fold to the front
+    strs = list({f"p{rng.randrange(10**9):09d}/{rng.randrange(100)}" for _ in range(300)})
+    srows = [("A" if i % 2 else "B", s) for i, s in enumerate(strs)] + [("A", ""), ("A", None)]
+    sdf = spark.createDataFrame(srows, "retailer string, k string").repartition(5)
+    sgot = {(r.retailer, r.k): r["index"] for r in FR.assign_global_indexes(sdf, {"A": 0, "B": 50_000}, order_cols=("k",)).collect()}
+    for retailer, base in (("A", 0), ("B", 50_000)):
+        ordered = sorted(
+            [r for r in srows if r[0] == retailer],
+            key=lambda r: (0, "") if r[1] is None else (1, r[1]),
+        )
+        for rank, r in enumerate(ordered):
+            assert sgot[(r[0], r[1])] == base + rank, r
+
+
 def test_assign_indexes_two_level_equals_naive(spark):
     """The scalable two-level prefix-sum must produce byte-identical ids
     to the naive single-window form."""
