@@ -272,6 +272,11 @@ def minhash_lsh_pairs(
     # per-unique-pair signature joins below — without the cache the
     # shingle explode + 32-min aggregation would run three times
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist()
+    # persist the banded table too (r6): it feeds BOTH self-join sides
+    # and (when capped) the bucket-frequency aggregation — without the
+    # cache the band explode re-ran once per consumer (4 identical
+    # Generate subtrees in the executed plan), and each duplicate
+    # subtree was codegen'd separately, inflating the cold compile
     banded = sigs.select(
         id_col,
         F.explode(
@@ -280,7 +285,8 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket").persist()
+    banded_cache = banded  # keep the persisted handle (banded is reassigned below)
     if bucket_cap is not None:
         counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bn"))
         counts = counts.observe(
@@ -313,7 +319,7 @@ def minhash_lsh_pairs(
         .join(sig_b, "b")
         .select("a", "b", est.cast("double").alias("est_jaccard"))
     )
-    return unpersist_when_collected(out, sigs)
+    return unpersist_when_collected(out, sigs, banded_cache)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:

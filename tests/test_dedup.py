@@ -114,6 +114,30 @@ def test_minhash_estimates_jaccard(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_banded_table_cached_and_released(spark):
+    """r6: the banded (id, band, bucket) table is persisted — the band
+    explode materializes ONCE and both self-join sides plus the
+    bucket-cap aggregation read the cache (previously 4 identical
+    Generate subtrees executed, and each was codegen'd separately).
+    Caches release with the result handle (no leak across a session)."""
+    import gc
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [(i, base + f" tail{i}") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = D.minhash_lsh_pairs(df, num_hashes=32, bands=16, shingle_k=3, bucket_cap=2000)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both the signature cache AND the banded cache appear as in-memory
+    # scans; no Generate (the band explode) above the banded cache reads
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() >= before + 2
+    del out, plan
+    gc.collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
 def test_simhash_near_texts_close(spark):
     # simhash sign-sums need enough token mass to be stable — use ~100-token docs
     base = ("spark makes big data processing simple and fast for everyone who tries it today " * 8).strip()
