@@ -210,14 +210,21 @@ def _shingles(text_col: str, k: int = 5) -> F.Column:
     evaluations per document, never O(words). ``concat_ws`` skips the
     NULLs zip_with pads with, which reproduces array_join-of-short-slice
     exactly for the sub-k tail (identity pinned by the existing tests).
+
+    Construction note (r6 continuation, same move as the simhash
+    rewrite): the zip-fold is built as ONE parsed SQL expression instead
+    of a Column-DSL fold with Python lambdas (dozens of py4j round
+    trips per call). Catalyst-verified identical: ``sameResult`` is True
+    between the two forms, so the analyzed plan — and therefore every
+    output bit — is unchanged.
     """
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = f"split(trim(lower(`{text_col}`)), '\\\\s+')"
     big = 1 << 30
     acc = words
     for j in range(1, k):
-        acc = F.zip_with(acc, F.slice(words, j + 1, big), lambda a, b: F.concat_ws(" ", a, b))
-    n = F.greatest(F.size(words) - (k - 1), F.lit(1))
-    return F.slice(acc, 1, n)
+        acc = f"zip_with({acc}, slice({words}, {j + 1}, {big}), (a, b) -> concat_ws(' ', a, b))"
+    n = f"greatest(size({words}) - {k - 1}, 1)"
+    return F.expr(f"slice({acc}, 1, {n})")
 
 
 def minhash_signatures(
@@ -233,10 +240,14 @@ def minhash_signatures(
     projection collapse — measured ~100× slower at 32 hashes.
     """
     sh = df.select(F.col(id_col), F.explode(F.array_distinct(_shingles(text_col, shingle_k))).alias("__sh"))
-    aggs = [F.min(F.xxhash64("__sh", F.lit(j))).alias(f"__h{j}") for j in range(num_hashes)]
-    return sh.groupBy(id_col).agg(*aggs).select(
-        F.col(id_col), F.array(*[F.col(f"__h{j}") for j in range(num_hashes)]).alias("minhash")
-    )
+    # parsed SQL expressions (r6 continuation): the Column-DSL form of
+    # the 32 min-aggregates + array assembly cost ~150 py4j round trips
+    # per bench invocation; sameResult-verified identical (SQL xxhash64
+    # uses the same default seed 42, integer literals parse to the same
+    # IntegerType the F.lit path produced)
+    aggs = [F.expr(f"min(xxhash64(__sh, {j})) AS __h{j}") for j in range(num_hashes)]
+    assembly = "array(" + ", ".join(f"__h{j}" for j in range(num_hashes)) + ") AS minhash"
+    return sh.groupBy(id_col).agg(*aggs).select(F.col(id_col), F.expr(assembly))
 
 
 def minhash_lsh_pairs(
@@ -277,14 +288,12 @@ def minhash_lsh_pairs(
     # cache the band explode re-ran once per consumer (4 identical
     # Generate subtrees in the executed plan), and each duplicate
     # subtree was codegen'd separately, inflating the cold compile
+    band_parts = ", ".join(
+        f"struct({b} AS band, xxhash64(CAST(slice(minhash, {b * rows + 1}, {rows}) AS STRING)) AS bucket)"
+        for b in range(bands)
+    )
     banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.xxhash64(F.slice("minhash", b * rows + 1, rows).cast("string")).alias("bucket"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
+        F.col(id_col), F.expr(f"explode(array({band_parts})) AS bb")
     ).select(id_col, "bb.band", "bb.bucket").persist()
     banded_cache = banded  # keep the persisted handle (banded is reassigned below)
     if bucket_cap is not None:
@@ -313,12 +322,11 @@ def minhash_lsh_pairs(
     )
     sig_a = sigs.select(F.col(id_col).alias("a"), F.col("minhash").alias("sig_a"))
     sig_b = sigs.select(F.col(id_col).alias("b"), F.col("minhash").alias("sig_b"))
-    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)) / F.lit(num_hashes)
-    out = (
-        pairs.join(sig_a, "a")
-        .join(sig_b, "b")
-        .select("a", "b", est.cast("double").alias("est_jaccard"))
+    est = F.expr(
+        f"CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), e -> e)) / {num_hashes}"
+        " AS DOUBLE) AS est_jaccard"
     )
+    out = pairs.join(sig_a, "a").join(sig_b, "b").select("a", "b", est)
     return unpersist_when_collected(out, sigs, banded_cache)
 
 
