@@ -27,21 +27,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _dot_lit(vec_col: Column, q: list[float]) -> Column:
-    """dot(vec, literal q) via zip_with + aggregate (no UDF)."""
-    qc = F.array(*[F.lit(float(x)) for x in q])
-    prods = F.zip_with(vec_col, qc, lambda x, y: x.cast("double") * y)
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+# Vector-vs-literal math is built as parsed SQL expressions (r6
+# continuation, same move as the simhash/minhash rewrites): the
+# Column-DSL form of a 64-dim literal array cost 64 py4j round trips
+# per use — _bucket_bits paid that once PER PLANE (~600 round trips for
+# 8 planes). ``float(x)!r`` literals round-trip exactly (r4 ADVICE
+# pattern) and ``sameResult`` is True against the DSL forms, so the
+# analyzed plans — and every output bit — are unchanged.
 
 
-def _norm(vec_col: Column) -> Column:
-    sq = F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    return F.sqrt(sq)
+def _dot_lit_sql(vec_sql: str, q: list[float]) -> str:
+    """SQL fragment: dot(vec, literal q) via zip_with + aggregate."""
+    qc = "array(" + ", ".join(f"{float(x)!r}D" for x in q) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {qc}, (x, y) -> CAST(x AS DOUBLE) * y),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
 
 
-def cosine_vs_query(vec_col: Column, q: list[float]) -> Column:
+def _norm_sql(vec_sql: str) -> str:
+    return (
+        f"sqrt(aggregate({vec_sql}, 0.0D,"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
+def _norm(vec_col: str) -> Column:
+    return F.expr(_norm_sql(f"`{vec_col}`"))
+
+
+def cosine_vs_query(vec_col: str, q: list[float]) -> Column:
     qn = float(np.linalg.norm(q))
-    return _dot_lit(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+    v = f"`{vec_col}`"
+    return F.expr(f"{_dot_lit_sql(v, q)} / ({_norm_sql(v)} * {qn!r}D)")
 
 
 def cosine_topk(
@@ -50,7 +68,7 @@ def cosine_topk(
     """Exact brute-force cosine top-k. The scan is embarrassingly parallel;
     the global top-k is a TakeOrdered (no full sort shuffle)."""
     return (
-        df.select(F.col(id_col), F.round(cosine_vs_query(F.col(vec_col), query), 6).alias("cosine"))
+        df.select(F.col(id_col), F.round(cosine_vs_query(vec_col, query), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -155,14 +173,15 @@ def _bucket_ids_udf(planes_per_table: list[np.ndarray]):
     return bucket_ids
 
 
-def _bucket_bits(vec_col: Column, planes: np.ndarray) -> Column:
+def _bucket_bits(vec_col: str, planes: np.ndarray) -> Column:
     """Bucket id = sign-bit string of the vector against each hyperplane."""
-    bits = None
-    for i, p in enumerate(planes):
-        bit = F.when(_dot_lit(vec_col, list(p)) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        bits = term if bits is None else bits + term
-    return bits
+    v = f"`{vec_col}`"
+    terms = [
+        f"shiftleft(CASE WHEN {_dot_lit_sql(v, list(p))} >= 0"
+        " THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, " + str(i) + ")"
+        for i, p in enumerate(planes)
+    ]
+    return F.expr(" + ".join(terms))
 
 
 def ann_lsh_topk(
@@ -188,27 +207,29 @@ def ann_lsh_topk(
     for i, p in enumerate(planes):
         if float(np.dot(p, query)) >= 0:
             qbits |= 1 << i
-    bucket = _bucket_bits(F.col(vec_col), planes)
+    bucket = _bucket_bits(vec_col, planes)
     # popcount via bit_count (Spark 3.4+)
     hamming = F.bit_count(bucket.bitwiseXOR(F.lit(qbits)))
     return (
         df.withColumn("__bucket", bucket)
         .filter(hamming <= max_hamming)
-        .select(F.col(id_col), F.round(cosine_vs_query(F.col(vec_col), query), 6).alias("cosine"))
+        .select(F.col(id_col), F.round(cosine_vs_query(vec_col, query), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
 
 
-def _assign_cell(vec_col: Column, centroids: np.ndarray) -> Column:
+def _assign_cell(vec_col: str, centroids: np.ndarray) -> Column:
     """argmin_c ||v − c||² as a column expression: min over an array of
     (distance, cell) structs (struct ordering is lexicographic). With
-    ||v||² constant per row, argmin dist == argmax (dot − ½||c||²)."""
-    entries = []
-    for ci, c in enumerate(centroids):
-        score = _dot_lit(vec_col, list(c)) - 0.5 * float(np.dot(c, c))
-        entries.append(F.struct((-score).alias("d"), F.lit(ci).alias("c")))
-    return F.array_min(F.array(*entries)).getField("c")
+    ||v||² constant per row, argmin dist == argmax (dot − ½||c||²).
+    Reference form only — the runtime path is :func:`_assign_cells_udf`."""
+    v = f"`{vec_col}`"
+    entries = ", ".join(
+        f"struct(-({_dot_lit_sql(v, list(c))} - {0.5 * float(np.dot(c, c))!r}D) AS d, {ci} AS c)"
+        for ci, c in enumerate(centroids)
+    )
+    return F.expr(f"array_min(array({entries})).c")
 
 
 def _assign_cells_udf(centroids: np.ndarray):
@@ -310,7 +331,7 @@ def ann_ivf_topk(
     probe = [int(c) for c in np.argsort(d2)[:n_probe]]
     return (
         assigned.filter(F.col("cell").isin(probe))
-        .select(F.col(id_col), F.round(cosine_vs_query(F.col(vec_col), query), 6).alias("cosine"))
+        .select(F.col(id_col), F.round(cosine_vs_query(vec_col, query), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -356,7 +377,7 @@ def ann_ivf_topk_partitioned(
     probe = [int(c) for c in np.argsort(d2)[:n_probe]]
     scan = spark.read.parquet(path).filter(F.col("cell").isin(probe))
     return (
-        scan.select(F.col(id_col), F.round(cosine_vs_query(F.col(vec_col), query), 6).alias("cosine"))
+        scan.select(F.col(id_col), F.round(cosine_vs_query(vec_col, query), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -411,7 +432,7 @@ def embedding_near_dup_pairs(
         F.col(id_col),
         F.col(vec_col),
         F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
-        _norm(F.col(vec_col)).alias("nrm"),
+        _norm(vec_col).alias("nrm"),
     ).persist()
     sig_cache = sig
     if bucket_cap is not None:
