@@ -10,10 +10,15 @@ which makes the rehearsal a dup-HEAVY stress shape for the near-dup
 family (every doc gains 3 near-exact copies) rather than a faithful
 independent 4x corpus — see OPTIMIZATION_r06.md for the reading.
 
-Usage: python BENCH/r06/make_sf04_rehearsal.py  # writes /tmp/sfbig/sf0.4
+Usage: python BENCH/r06/make_sf04_rehearsal.py [K]  # default K=4 → /tmp/sfbig/sf0.4
+       K=16 writes /tmp/sfbig/sf1.6 and switches the text perturbation
+       to a per-WORD copy suffix (every shingle differs across copies —
+       an independent-corpus shape; the K=4 one-token prefix leaves
+       interior shingles shared, a dup-heavy stress shape).
 Then:  SPARK_GRAFT_SF_DIR=/tmp/sfbig/sf0.4 python bench.py
 """
 import os
+import sys
 
 import numpy as np
 import pyarrow as pa
@@ -21,9 +26,9 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sfbig/sf0.4"
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+DST = f"/tmp/sfbig/sf{K / 10:g}"
 OFF = 10_000_000
-K = 4
 
 
 def shift(tbl, cols, k):
@@ -53,13 +58,19 @@ def main() -> None:
         pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{DST}/{t}.parquet")
 
     docs = pq.read_table(f"{SRC}/documents.parquet")
+    texts = docs["text"].to_pylist()
     parts = []
     for k in range(K):
         t = shift(docs, ["doc_id"], k)
         if k > 0:
-            txt = pc.binary_join_element_wise(
-                pa.scalar(f"v{k}"), t["text"].combine_chunks().cast(pa.string()), " "
-            )
+            if K > 4:  # per-word suffix: every shingle differs across copies
+                suf = f"v{k}"
+                newt = [" ".join(w + suf for w in s.split(" ")) if s else s for s in texts]
+                txt = pa.array(newt, type=pa.string())
+            else:  # one-token prefix: interior shingles shared (dup-heavy)
+                txt = pc.binary_join_element_wise(
+                    pa.scalar(f"v{k}"), t["text"].combine_chunks().cast(pa.string()), " "
+                )
             t = t.set_column(t.column_names.index("text"), "text", txt)
         nch = pc.utf8_length(t["text"]).cast(pa.int64())
         parts.append(t.set_column(t.column_names.index("n_chars"), "n_chars", nch))

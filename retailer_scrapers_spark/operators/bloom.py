@@ -431,19 +431,27 @@ def _exact_verify_scan_side(
 
     ``max_broadcast_rows``: None (default) broadcasts unconditionally —
     no sizing job, the right call for bench/ad-hoc use where positives
-    are known-bounded. An int enables the guarded form: one count over
-    the (caller-pinned) positives picks broadcast vs the exact shuffled
-    anti/semi pair, so a pathological epoch (nearly everything already
-    seen) degrades to the r5 shape instead of an oversized broadcast —
-    a deterministic switch on a pure function of the input, like the D2
-    hybrid. The r6 A/B at sf0.1 measured the count job at ~0.4 s, which
-    is noise per crawl EPOCH but real per bench query — hence the
-    split default.
+    are known-bounded. A non-negative int enables the guarded form: one
+    count over the (caller-pinned) positives picks broadcast vs the
+    exact shuffled anti/semi pair, so a pathological epoch (nearly
+    everything already seen) degrades to the r5 shape instead of an
+    oversized broadcast — a deterministic switch on a pure function of
+    the input, like the D2 hybrid. The r6 A/B at sf0.1 measured the
+    count job at ~0.4 s, which is noise per crawl EPOCH but real per
+    bench query — hence the split default. A NEGATIVE int forces the
+    shuffled pair with no sizing job — for callers that already know
+    the positives are past the broadcast crossover (e.g. from input
+    metadata), so they pay neither the count nor an oversized
+    broadcast build.
     """
     # LEFT ANTI/SEMI are existence-only: duplicates on the build side
     # are harmless, so no distinct anywhere — that was a full extra
     # shuffle of the (at scale, 10^10-row) seen set per epoch
     seen_keys = seen.select(F.col(url_col))
+    if max_broadcast_rows is not None and max_broadcast_rows < 0:
+        verified = positives.join(seen_keys, url_col, "left_anti")
+        dup = positives.join(seen_keys, url_col, "left_semi")
+        return verified, dup
     if max_broadcast_rows is None or positives.count() <= max_broadcast_rows:
         matched = seen_keys.join(F.broadcast(positives.select(F.col(url_col))), url_col, "left_semi")
         # pin only when BOTH outputs will execute (the epoch loop logs

@@ -223,6 +223,34 @@ def test_exact_verify_has_no_seen_side_exchange(spark):
     } - truth
 
 
+def test_exact_verify_forced_shuffled_by_negative_guard(spark):
+    """A NEGATIVE verify_broadcast_max_rows forces the exact shuffled
+    anti/semi pair with no sizing job and no positives broadcast — for
+    callers that already know from input metadata that the positives are
+    past the broadcast crossover (the scale-adaptive d6 entry at large
+    SF). Results must be identical to the flipped shape."""
+    from retailer_scrapers_spark.operators.bloom import build_bloom_state, filter_unseen_split_state
+
+    urls = _bench_urls(spark, n=2000)
+    seen = urls.filter(F.col("id") % 2 == 0).select("url_canon")
+    state = build_bloom_state(seen, m_bits=1 << 16, k_hashes=7, n_slices=8)
+    unseen, dup = filter_unseen_split_state(
+        urls.select("url_canon"), state, seen, n_slices=8, verify_broadcast_max_rows=-1
+    )
+    # the verify is the direct anti-join, not the flip: the flipped
+    # shape nests a LeftSemi (matched = seen ⋉ positives) inside the
+    # unseen plan's broadcast build; the forced pair has no semi at all
+    # (Catalyst may still auto-broadcast the tiny test-sized build side,
+    # so the node TYPE is not the discriminator — the join shape is)
+    plan = unseen._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan, plan
+    truth = {r.url_canon for r in seen.collect()}
+    assert {r.url_canon for r in dup.collect()} == truth
+    assert {r.url_canon for r in unseen.collect()} == {
+        r.url_canon for r in urls.select("url_canon").collect()
+    } - truth
+
+
 def test_probe_rejects_incompatible_state_blobs():
     """ADVICE r5: a pre-state-DataFrame SCK1 checkpoint or a mis-sized
     blob must fail loudly, never be probed as garbage bits (garbage
